@@ -1,0 +1,352 @@
+"""SIFT detect + describe, TPU-native.
+
+Replaces the cv::SIFT the reference leans on
+(/root/reference/SfM-GMS/SfM-GMS/FeatureMatchUtil.cpp:9-12, created with
+nfeatures=10000). Design notes (SURVEY.md §2.3):
+
+* Gaussian/DoG pyramid: batched separable convs (scalespace.py), every octave
+  a static shape inside one jit trace.
+* Extrema: 3x3x3 ``reduce_window`` max/min over the DoG stack — pure VPU.
+* Candidate selection: per-octave ``top_k`` on the thresholded |DoG| response,
+  fixed capacity — no data-dependent shapes.
+* Subpixel refinement: gathered 3x3x3 cubes, batched 3x3 solves (vmap), a
+  fixed number of re-localization steps instead of OpenCV's while-loop.
+* Orientation: 36-bin gradient histogram over a Gaussian-weighted disc,
+  sampled on a fixed 17x17 grid scaled by the keypoint sigma; the classic
+  [1,4,6,4,1] circular smoothing and 0.8-peak second orientation.
+* Descriptor: 4x4x8 trilinear-binned histogram from a rotated 16x16 sample
+  grid; normalize -> clip 0.2 -> renormalize.
+
+Outputs are fixed-capacity `Features` (padded + mask).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from tpusfm.config import SiftConfig
+from tpusfm.features import scalespace as ss
+from tpusfm.types import Features, Keypoints
+
+_BORDER = 5
+
+
+def _extrema_mask(dog, threshold: float):
+    """(L-2, H, W) bool: interior layers that are 3x3x3 extrema above thr."""
+    win_max = jax.lax.reduce_window(
+        dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1),
+        [(0, 0), (1, 1), (1, 1)],
+    )
+    win_min = jax.lax.reduce_window(
+        dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1),
+        [(0, 0), (1, 1), (1, 1)],
+    )
+    center = dog[1:-1]
+    is_max = (center >= win_max) & (center > threshold)
+    is_min = (center <= win_min) & (center < -threshold)
+    mask = is_max | is_min
+    h, w = dog.shape[1], dog.shape[2]
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    border_ok = (
+        (ys[:, None] >= _BORDER) & (ys[:, None] < h - _BORDER)
+        & (xs[None, :] >= _BORDER) & (xs[None, :] < w - _BORDER)
+    )
+    return mask & border_ok[None]
+
+
+def _gather_cube(dog, l, y, x):
+    """3x3x3 cube around (l, y, x) from dog (L, H, W); vmapped."""
+    return jax.lax.dynamic_slice(dog, (l - 1, y - 1, x - 1), (3, 3, 3))
+
+
+def _derivatives(c):
+    """Gradient and Hessian of a 3x3x3 cube, (x, y, s) ordering."""
+    g = jnp.stack([
+        (c[1, 1, 2] - c[1, 1, 0]) * 0.5,
+        (c[1, 2, 1] - c[1, 0, 1]) * 0.5,
+        (c[2, 1, 1] - c[0, 1, 1]) * 0.5,
+    ])
+    v = c[1, 1, 1]
+    dxx = c[1, 1, 2] - 2 * v + c[1, 1, 0]
+    dyy = c[1, 2, 1] - 2 * v + c[1, 0, 1]
+    dss = c[2, 1, 1] - 2 * v + c[0, 1, 1]
+    dxy = (c[1, 2, 2] - c[1, 2, 0] - c[1, 0, 2] + c[1, 0, 0]) * 0.25
+    dxs = (c[2, 1, 2] - c[2, 1, 0] - c[0, 1, 2] + c[0, 1, 0]) * 0.25
+    dys = (c[2, 2, 1] - c[2, 0, 1] - c[0, 2, 1] + c[0, 0, 1]) * 0.25
+    H = jnp.array([[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]])
+    return g, H, v, (dxx, dyy, dxy)
+
+
+def _refine(dog, l0, y0, x0, n_layers: int, cfg: SiftConfig):
+    """Fixed-step subpixel localization of one candidate. Returns
+    (l, y, x, offset (3,), value, edge_ok, conv_ok)."""
+    L, h, w = dog.shape
+
+    def clampi(l, y, x):
+        return (
+            jnp.clip(l, 1, L - 2),
+            jnp.clip(y, _BORDER, h - 1 - _BORDER),
+            jnp.clip(x, _BORDER, w - 1 - _BORDER),
+        )
+
+    def step(carry, _):
+        l, y, x = carry
+        c = _gather_cube(dog, l, y, x)
+        g, H, _, _ = _derivatives(c)
+        Hr = H + jnp.eye(3) * 1e-10
+        off = -jnp.linalg.solve(Hr, g)
+        off = jnp.clip(jnp.nan_to_num(off), -1.5, 1.5)
+        move = (jnp.abs(off) > 0.5).astype(jnp.int32) * jnp.sign(off).astype(jnp.int32)
+        nl, ny, nx = clampi(l + move[2], y + move[1], x + move[0])
+        return (nl, ny, nx), None
+
+    (l, y, x), _ = jax.lax.scan(step, clampi(l0, y0, x0), None, length=2)
+    c = _gather_cube(dog, l, y, x)
+    g, H, v, (dxx, dyy, dxy) = _derivatives(c)
+    Hr = H + jnp.eye(3) * 1e-10
+    off = -jnp.linalg.solve(Hr, g)
+    off = jnp.nan_to_num(off)
+    conv_ok = jnp.all(jnp.abs(off) < 0.6)
+    off = jnp.clip(off, -0.5, 0.5)
+    contrast = v + 0.5 * jnp.dot(g, off)
+    contrast_ok = jnp.abs(contrast) * n_layers >= cfg.contrast_threshold
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = cfg.edge_threshold
+    edge_ok = (det > 0) & (tr * tr * r < (r + 1) * (r + 1) * det)
+    return l, y, x, off, contrast, conv_ok & contrast_ok & edge_ok
+
+
+def _bilinear(img, x, y):
+    """Bilinear sample of (H, W) at float coords, clamped."""
+    h, w = img.shape
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    dx = x - x0
+    dy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (v00 * (1 - dx) + v01 * dx) * (1 - dy) + (v10 * (1 - dx) + v11 * dx) * dy
+
+
+_ORI_GRID = 8  # half-width of the 17x17 orientation sample grid
+
+
+def _orientation(dx_maps, dy_maps, layer, x, y, sigma, cfg: SiftConfig):
+    """Dominant orientation(s) from a 36-bin weighted gradient histogram.
+
+    Returns (angle1, angle2, second_valid)."""
+    nbins = cfg.n_orientation_bins
+    radius = 3.0 * 1.5 * sigma
+    g = jnp.arange(-_ORI_GRID, _ORI_GRID + 1, dtype=jnp.float32) / _ORI_GRID
+    gu, gv = jnp.meshgrid(g, g)
+    sx = x + gu * radius
+    sy = y + gv * radius
+    dxm = dx_maps[layer]
+    dym = dy_maps[layer]
+    gx = _bilinear(dxm, sx, sy)
+    gy = _bilinear(dym, sx, sy)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    wgt = jnp.exp(-(gu * gu + gv * gv) * (radius ** 2) / (2.0 * (1.5 * sigma) ** 2))
+    ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+    binf = (ang / (2 * jnp.pi)) * nbins
+    bini = jnp.mod(jnp.round(binf).astype(jnp.int32), nbins)
+    hist = jnp.zeros((nbins,)).at[bini.reshape(-1)].add((mag * wgt).reshape(-1))
+    # circular [1,4,6,4,1]/16 smoothing
+    for _ in range(2):
+        hist = (
+            jnp.roll(hist, 1) * 0.25 + hist * 0.5 + jnp.roll(hist, -1) * 0.25
+        )
+    peak = jnp.max(hist)
+    b1 = jnp.argmax(hist)
+
+    def interp_angle(b):
+        l = hist[jnp.mod(b - 1, nbins)]
+        c = hist[b]
+        rr = hist[jnp.mod(b + 1, nbins)]
+        denom = l - 2 * c + rr
+        delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - rr) / denom, 0.0)
+        delta = jnp.clip(delta, -0.5, 0.5)
+        return jnp.mod((b + delta) / nbins * 2 * jnp.pi, 2 * jnp.pi)
+
+    # second peak: local max >= 0.8 * peak, not the main bin
+    is_loc = (hist >= jnp.roll(hist, 1)) & (hist >= jnp.roll(hist, -1))
+    cand = jnp.where(
+        is_loc & (jnp.arange(nbins) != b1), hist, -1.0
+    )
+    b2 = jnp.argmax(cand)
+    second_valid = cand[b2] >= cfg.orientation_peak_ratio * peak
+    return interp_angle(b1), interp_angle(b2), second_valid
+
+
+_DESC_S = 16  # descriptor sample grid (16x16)
+
+
+def _descriptor(dx_maps, dy_maps, layer, x, y, sigma, angle, cfg: SiftConfig):
+    """128-D SIFT descriptor via trilinear soft-binning of a rotated grid."""
+    d = cfg.descriptor_width
+    n = cfg.descriptor_bins
+    hist_width = cfg.descriptor_scale_factor * sigma  # one cell = 3 sigma
+    # sample coords in cell units, covering [-d/2, d/2)
+    g = (jnp.arange(_DESC_S, dtype=jnp.float32) + 0.5) / _DESC_S * d - d / 2
+    cu, cv = jnp.meshgrid(g, g)  # (S, S) cell-unit coords
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    # rotate to image frame, scale by cell width
+    ox = (cu * ca - cv * sa) * hist_width
+    oy = (cu * sa + cv * ca) * hist_width
+    gx = _bilinear(dx_maps[layer], x + ox, y + oy)
+    gy = _bilinear(dy_maps[layer], x + ox, y + oy)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    wgt = jnp.exp(-(cu * cu + cv * cv) / (0.5 * d * d))
+    theta = jnp.mod(jnp.arctan2(gy, gx) - angle, 2 * jnp.pi)
+    obin = theta / (2 * jnp.pi) * n
+
+    # trilinear binning: cell coords shifted so bins are at centers
+    ubin = cu + d / 2 - 0.5
+    vbin = cv + d / 2 - 0.5
+    u0 = jnp.floor(ubin).astype(jnp.int32)
+    v0 = jnp.floor(vbin).astype(jnp.int32)
+    o0 = jnp.floor(obin).astype(jnp.int32)
+    fu = ubin - u0
+    fv = vbin - v0
+    fo = obin - o0
+
+    w = mag * wgt
+    flat_hist = jnp.zeros((d * d * n + 1,))
+    for du in (0, 1):
+        for dv in (0, 1):
+            for do in (0, 1):
+                uu = u0 + du
+                vv = v0 + dv
+                oo = jnp.mod(o0 + do, n)
+                wc = (
+                    w
+                    * (fu if du else 1 - fu)
+                    * (fv if dv else 1 - fv)
+                    * (fo if do else 1 - fo)
+                )
+                ok = (uu >= 0) & (uu < d) & (vv >= 0) & (vv < d)
+                idx = jnp.where(ok, (vv * d + uu) * n + oo, d * d * n)
+                flat_hist = flat_hist.at[idx.reshape(-1)].add(
+                    jnp.where(ok, wc, 0.0).reshape(-1)
+                )
+    desc = flat_hist[:-1]
+    norm = jnp.maximum(jnp.linalg.norm(desc), 1e-6)
+    desc = jnp.minimum(desc / norm, cfg.descriptor_clip)
+    norm = jnp.maximum(jnp.linalg.norm(desc), 1e-6)
+    return desc / norm
+
+
+def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig):
+    """Detect + describe inside one octave. Returns padded per-octave arrays
+    (xy_abs, sigma_abs, angle, response, desc, mask) with capacity 2*k_oct."""
+    n_layers = cfg.n_octave_layers
+    L, h, w = dog.shape
+    thr = 0.5 * cfg.contrast_threshold / n_layers
+
+    ext = _extrema_mask(dog, thr)  # (L-2, h, w)
+    score = jnp.where(ext, jnp.abs(dog[1:-1]), -1.0)
+    flat = score.reshape(-1)
+    top_v, top_i = jax.lax.top_k(flat, k_oct)
+    cand_valid = top_v > 0
+    li = top_i // (h * w) + 1
+    yi = (top_i % (h * w)) // w
+    xi = top_i % w
+
+    l, y, x, off, contrast, ok = jax.vmap(
+        lambda a, b, c: _refine(dog, a, b, c, n_layers, cfg)
+    )(li, yi, xi)
+    ok = ok & cand_valid
+
+    fx = x.astype(jnp.float32) + off[:, 0]
+    fy = y.astype(jnp.float32) + off[:, 1]
+    fl = l.astype(jnp.float32) + off[:, 2]
+    sigma_oct = cfg.sigma * 2.0 ** (fl / n_layers)  # in octave pixel units
+
+    dx_maps, dy_maps = ss.gradients(gauss)
+    layer_idx = jnp.clip(jnp.round(fl).astype(jnp.int32), 1, n_layers)
+
+    a1, a2, second = jax.vmap(
+        lambda li_, xx, yy, ss_: _orientation(dx_maps, dy_maps, li_, xx, yy, ss_, cfg)
+    )(layer_idx, fx, fy, sigma_oct)
+
+    desc_fn = jax.vmap(
+        lambda li_, xx, yy, ss_, aa: _descriptor(dx_maps, dy_maps, li_, xx, yy, ss_, aa, cfg)
+    )
+    d1 = desc_fn(layer_idx, fx, fy, sigma_oct, a1)
+    d2 = desc_fn(layer_idx, fx, fy, sigma_oct, a2)
+
+    xy = jnp.stack([fx, fy], axis=1) * octave_scale
+    sig = sigma_oct * octave_scale
+    resp = jnp.abs(contrast)
+
+    xy_all = jnp.concatenate([xy, xy])
+    sig_all = jnp.concatenate([sig, sig])
+    ang_all = jnp.concatenate([a1, a2])
+    resp_all = jnp.concatenate([resp, resp])
+    desc_all = jnp.concatenate([d1, d2])
+    mask_all = jnp.concatenate([ok, ok & second])
+    return xy_all, sig_all, ang_all, resp_all, desc_all, mask_all
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
+    """SIFT keypoints + descriptors for a grayscale image (H, W) in [0, 1].
+
+    Equivalent of SIFTDetectAndCompute
+    (/root/reference/SfM-GMS/SfM-GMS/FeatureMatchUtil.cpp:9-12)."""
+    img = jnp.asarray(img, jnp.float32)
+    h, w = img.shape
+
+    if cfg.upsample:
+        base = jax.image.resize(img, (h * 2, w * 2), "linear")
+        base_scale = 0.5
+        init_blur = 1.0  # assumed 0.5 blur, doubled by upsampling
+    else:
+        base = img
+        base_scale = 1.0
+        init_blur = 0.5
+    inc = math.sqrt(max(cfg.sigma**2 - init_blur**2, 0.01))
+    base = ss.gaussian_blur(base, inc)
+
+    n_oct = ss.num_octaves(base.shape[0], base.shape[1], cfg.max_octaves)
+    k_oct = max(64, cfg.max_features // 2)
+
+    outs = []
+    cur = base
+    for o in range(n_oct):
+        if min(cur.shape) < 4 * _BORDER:
+            break
+        gauss, dog = ss.build_octave(cur, cfg.sigma, cfg.n_octave_layers)
+        octave_scale = base_scale * (2.0 ** o)
+        outs.append(_process_octave(gauss, dog, octave_scale, k_oct, cfg))
+        cur = ss.downsample2(gauss[cfg.n_octave_layers])
+
+    xy = jnp.concatenate([o[0] for o in outs])
+    sig = jnp.concatenate([o[1] for o in outs])
+    ang = jnp.concatenate([o[2] for o in outs])
+    resp = jnp.concatenate([o[3] for o in outs])
+    desc = jnp.concatenate([o[4] for o in outs])
+    mask = jnp.concatenate([o[5] for o in outs])
+
+    k = cfg.max_features
+    score = jnp.where(mask, resp, -1.0)
+    _, sel = jax.lax.top_k(score, k)
+    sel_mask = jnp.take(mask, sel) & (jnp.take(score, sel) > 0)
+
+    kpts = Keypoints(
+        xy=jnp.where(sel_mask[:, None], jnp.take(xy, sel, axis=0), 0.0),
+        scale=jnp.where(sel_mask, jnp.take(sig, sel), 0.0),
+        angle=jnp.where(sel_mask, jnp.take(ang, sel), 0.0),
+        response=jnp.where(sel_mask, jnp.take(resp, sel), 0.0),
+        mask=sel_mask,
+    )
+    return Features(kpts=kpts, desc=jnp.where(sel_mask[:, None], jnp.take(desc, sel, axis=0), 0.0))

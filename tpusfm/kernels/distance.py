@@ -1,0 +1,196 @@
+"""Descriptor nearest-neighbor search — the matching hot loop.
+
+TPU-native replacement for the reference's cv::BFMatcher N1xN2 search
+(/root/reference/SfM-GMS/SfM-GMS/FeatureMatchUtil.cpp:20-31) and its FLANN
+approximate variants (/root/reference/SfM-GMS/SfM-GMS/DisparityUtil.cpp:101-116):
+on the MXU an *exact* blockwise search is faster than approximate trees, so
+FLANN call sites map onto this same kernel.
+
+Design: flash-attention-style streaming. The (Nq, Ndb) distance matrix is
+never materialized; a Pallas kernel tiles it and keeps per-query running
+(best, second-best, argbest) accumulators in VMEM. L2 distances come from the
+MXU via d2 = |q|^2 + |db|^2 - 2 q.db ; Hamming (ORB) from XOR+popcount on the
+VPU. Complexity O(Nq*Ndb*D) FLOPs, O(Nq + Ndb) memory.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusfm.utils.pad import pad_axis, round_up
+
+BIG = 1e30  # python float: safe to close over inside pallas kernels
+
+TILE_Q = 256
+TILE_DB = 256
+
+
+def _block_l2(q, db):
+    """Squared-L2 distance block: q (TQ, D) f32, db (TD, D) f32 -> (TQ, TD)."""
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    dn = jnp.sum(db * db, axis=1, keepdims=True)
+    cross = jax.lax.dot_general(
+        q, db, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return jnp.maximum(qn + dn.T - 2.0 * cross, 0.0)
+
+
+def _block_hamming(q, db):
+    """Hamming distance block on packed uint32 words -> float32 (TQ, TD)."""
+    x = jax.lax.population_count(q[:, None, :] ^ db[None, :, :])
+    return jnp.sum(x, axis=-1).astype(jnp.float32)
+
+
+def _merge_top2(best, second, best_idx, bmin, bmin2, bidx):
+    """Merge running (best, second, idx) with a block's (min, min2, argmin)."""
+    take = bmin < best
+    new_best = jnp.where(take, bmin, best)
+    new_idx = jnp.where(take, bidx, best_idx)
+    # Second-smallest of {best, second, bmin, bmin2}: loser of the best
+    # comparison competes with the incumbent second and the block's second.
+    loser = jnp.where(take, best, bmin)
+    new_second = jnp.minimum(second, jnp.minimum(loser, bmin2))
+    return new_best, new_second, new_idx
+
+
+def _block_top2(dist):
+    """Per-row (min, second-min, argmin) of a (TQ, TD) block."""
+    bidx = jnp.argmin(dist, axis=1)
+    bmin = jnp.min(dist, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    masked = jnp.where(cols == bidx[:, None], BIG, dist)
+    bmin2 = jnp.min(masked, axis=1)
+    return bmin, bmin2, bidx.astype(jnp.int32)
+
+
+def _nn_kernel(q_ref, db_ref, dbmask_ref, best_ref, second_ref, idx_ref, *, metric):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, BIG)
+        second_ref[:] = jnp.full_like(second_ref, BIG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    q = q_ref[:]
+    db = db_ref[:]
+    if metric == "l2":
+        dist = _block_l2(q, db)
+    else:
+        dist = _block_hamming(q, db)
+    # Invalid db rows can never win.
+    dist = dist + (1.0 - dbmask_ref[:].reshape(1, -1)) * BIG
+
+    bmin, bmin2, bidx = _block_top2(dist)
+    bidx = bidx + j * dist.shape[1]
+
+    best, second, idx = best_ref[:, 0], second_ref[:, 0], idx_ref[:, 0]
+    nb, ns, ni = _merge_top2(best, second, idx, bmin, bmin2, bidx)
+    best_ref[:, 0] = nb
+    second_ref[:, 0] = ns
+    idx_ref[:, 0] = ni
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def nn_search_pallas(q, db, db_mask, metric: str = "l2"):
+    """Streaming NN search on TPU via Pallas.
+
+    q: (Nq, D), db: (Ndb, D) — f32 for "l2", uint32-packed for "hamming".
+    db_mask: (Ndb,) f32/bool — invalid database rows never match.
+    Nq, Ndb must be multiples of the tile sizes (caller pads; see nn_search).
+
+    Returns (idx (Nq,) i32, best (Nq,) f32, second (Nq,) f32) —
+    best/second are squared-L2 or Hamming distances.
+    """
+    nq, d = q.shape
+    ndb = db.shape[0]
+    assert nq % TILE_Q == 0 and ndb % TILE_DB == 0, (nq, ndb)
+    grid = (nq // TILE_Q, ndb // TILE_DB)
+
+    dbm = db_mask.astype(jnp.float32).reshape(ndb, 1)
+    out_shape = (
+        jax.ShapeDtypeStruct((nq, 1), jnp.float32),
+        jax.ShapeDtypeStruct((nq, 1), jnp.float32),
+        jax.ShapeDtypeStruct((nq, 1), jnp.int32),
+    )
+    best, second, idx = pl.pallas_call(
+        functools.partial(_nn_kernel, metric=metric),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_Q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_DB, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_DB, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * ndb * d, bytes_accessed=4 * (nq * d + ndb * d + 3 * nq), transcendentals=0
+        ),
+    )(q, db, dbm)
+    return idx[:, 0], best[:, 0], second[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "block"))
+def nn_search_xla(q, db, db_mask, metric: str = "l2", block: int = 1024):
+    """Pure-XLA reference path (CPU tests / fallback): scan over db blocks."""
+    nq = q.shape[0]
+    ndb = db.shape[0]
+    nblocks = max(1, round_up(ndb, block) // block)
+    dbp = pad_axis(db, nblocks * block, axis=0)
+    dbmp = pad_axis(db_mask.astype(jnp.float32), nblocks * block, axis=0)
+    db_blocks = dbp.reshape(nblocks, block, -1)
+    dbm_blocks = dbmp.reshape(nblocks, block)
+
+    def body_i(carry, xs):
+        (best, second, idx) = carry
+        dbb, dbmb, off = xs
+        if metric == "l2":
+            dist = _block_l2(q, dbb)
+        else:
+            dist = _block_hamming(q, dbb)
+        dist = dist + (1.0 - dbmb.reshape(1, -1)) * BIG
+        bmin, bmin2, bidx = _block_top2(dist)
+        bidx = bidx + off
+        return _merge_top2(best, second, idx, bmin, bmin2, bidx), None
+
+    init = (
+        jnp.full((nq,), BIG, jnp.float32),
+        jnp.full((nq,), BIG, jnp.float32),
+        jnp.full((nq,), -1, jnp.int32),
+    )
+    offs = jnp.arange(nblocks, dtype=jnp.int32) * block
+    (best, second, idx), _ = jax.lax.scan(body_i, init, (db_blocks, dbm_blocks, offs))
+    return idx, best, second
+
+
+def nn_search(q, db, db_mask=None, metric: str = "l2"):
+    """Dispatching NN search: Pallas on TPU, XLA elsewhere.
+
+    Handles padding to tile multiples; returned indices refer to the unpadded
+    db. Invalid queries (padding rows) return index -1 only if their distances
+    are BIG — callers should mask query validity themselves.
+    """
+    q = jnp.asarray(q)
+    db = jnp.asarray(db)
+    if db_mask is None:
+        db_mask = jnp.ones((db.shape[0],), jnp.float32)
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        return nn_search_xla(q, db, db_mask, metric=metric)
+    nq = round_up(q.shape[0], TILE_Q)
+    ndb = round_up(db.shape[0], TILE_DB)
+    d = round_up(q.shape[1], 128) if metric == "l2" else q.shape[1]
+    qp = pad_axis(pad_axis(q, nq, 0), d, 1)
+    dbp = pad_axis(pad_axis(db, ndb, 0), d, 1)
+    dbmp = pad_axis(db_mask.astype(jnp.float32), ndb, 0)
+    idx, best, second = nn_search_pallas(qp, dbp, dbmp, metric=metric)
+    n = q.shape[0]
+    return idx[:n], best[:n], second[:n]

@@ -1,0 +1,158 @@
+"""GMS — Grid-based Motion Statistics match filtering (Bian et al. CVPR'17).
+
+TPU-native re-design of cv::xfeatures2d::matchGMS
+(/root/reference/SfM-GMS/SfM-GMS/FeatureMatchUtil.cpp:69 with
+rotation+scale; DisparityUtil.cpp:149,299 with defaults off).
+
+The algorithm is reformulated as dense tensor ops (ideal for the VPU):
+  1. scatter-add matches into a (cells1, cells2) vote histogram,
+  2. per left-cell best right-cell ("motion"),
+  3. score = votes summed over the 3x3 cell neighborhood, with the right-side
+     neighborhood permuted per rotation pattern,
+  4. threshold tau = alpha * sqrt(mean matches per neighborhood cell),
+  5. matches in accepted cell pairs are inliers; OR over 4 half-cell grid
+     offsets; best configuration over rotation patterns x scale ratios.
+
+No data-dependent control flow: all offset/rotation/scale variants are
+evaluated as static unrolled branches and the max-inlier one selected with
+jnp.where — RANSAC-style search as pure batched compute.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from tpusfm.config import GmsConfig
+from tpusfm.types import Matches, Keypoints
+
+# 8 rotation patterns: circular shifts of the 8 ring neighbors (center fixed).
+# Ring order (clockwise): indices into the 3x3 neighborhood (row-major 0..8,
+# center=4): 0,1,2,5,8,7,6,3.
+_RING = [0, 1, 2, 5, 8, 7, 6, 3]
+
+_SCALE_RATIOS = [1.0, 0.5, 1.0 / math.sqrt(2.0), math.sqrt(2.0), 2.0]
+
+
+def _rotation_perms():
+    """(8, 9) permutation: perm[r][k] = neighborhood slot in image2 that
+    corresponds to slot k in image1 under rotation pattern r."""
+    perms = []
+    for r in range(8):
+        p = [0] * 9
+        p[4] = 4
+        for pos, slot in enumerate(_RING):
+            p[slot] = _RING[(pos + r) % 8]
+        perms.append(p)
+    return jnp.array(perms, jnp.int32)
+
+
+def _cell_index(xy, w, h, rows, cols, off_x, off_y):
+    """Grid cell id for each point; -1 if outside after offset shift."""
+    cw = w / cols
+    ch = h / rows
+    cx = jnp.floor(xy[:, 0] / cw + off_x * 0.5).astype(jnp.int32)
+    cy = jnp.floor(xy[:, 1] / ch + off_y * 0.5).astype(jnp.int32)
+    ok = (cx >= 0) & (cx < cols) & (cy >= 0) & (cy < rows)
+    return jnp.where(ok, cy * cols + cx, -1)
+
+
+def _neighbors(rows, cols):
+    """(cells, 9) neighbor ids in 3x3 row-major order; -1 out of grid."""
+    cell = jnp.arange(rows * cols)
+    cy, cx = cell // cols, cell % cols
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ny, nx = cy + dy, cx + dx
+            ok = (ny >= 0) & (ny < rows) & (nx >= 0) & (nx < cols)
+            out.append(jnp.where(ok, ny * cols + nx, -1))
+    return jnp.stack(out, axis=1).astype(jnp.int32)
+
+
+def _run_config(xy1, xy2, mmask, size1, size2, cfg, rows2, cols2, rot_perm):
+    """Inlier mask for one (scale, rotation) configuration, OR over 4 offsets."""
+    w1, h1 = size1
+    w2, h2 = size2
+    rows1, cols1 = cfg.grid_rows, cfg.grid_cols
+    c1 = rows1 * cols1
+    c2 = rows2 * cols2
+    nb1 = _neighbors(rows1, cols1)               # (c1, 9)
+    nb2 = _neighbors(rows2, cols2)               # (c2, 9)
+    nb2r = nb2[:, rot_perm]                       # (c2, 9): slot k -> rotated neighbor
+
+    inlier = jnp.zeros(xy1.shape[0], bool)
+    for off_x, off_y in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        cell1 = _cell_index(xy1, w1, h1, rows1, cols1, off_x, off_y)
+        cell2 = _cell_index(xy2, w2, h2, rows2, cols2, off_x, off_y)
+        ok = mmask & (cell1 >= 0) & (cell2 >= 0)
+        flat = jnp.where(ok, cell1 * c2 + cell2, c1 * c2)
+        votes = jnp.zeros((c1 * c2 + 1,), jnp.float32).at[flat].add(1.0)
+        votes = votes[:-1].reshape(c1, c2)
+
+        npts1 = jnp.zeros((c1 + 1,), jnp.float32).at[jnp.where(ok, cell1, c1)].add(1.0)[:-1]
+
+        best_j = jnp.argmax(votes, axis=1)        # (c1,)
+
+        # score_i = sum_k votes[nb1[i,k], nb2r[best_j[i], k]]
+        nb_l = nb1                                 # (c1, 9)
+        nb_r = nb2r[best_j]                        # (c1, 9)
+        valid_nb = (nb_l >= 0) & (nb_r >= 0)
+        vi = jnp.where(valid_nb, nb_l, 0)
+        vj = jnp.where(valid_nb, nb_r, 0)
+        score = jnp.sum(jnp.where(valid_nb, votes[vi, vj], 0.0), axis=1)
+
+        nb_np = jnp.where(nb_l >= 0, npts1[jnp.maximum(nb_l, 0)], 0.0)
+        n_valid = jnp.maximum(jnp.sum((nb_l >= 0).astype(jnp.float32), axis=1), 1.0)
+        thresh = cfg.threshold_factor * jnp.sqrt(jnp.sum(nb_np, axis=1) / n_valid)
+
+        cell_ok = score > thresh                   # (c1,)
+        pair_ok = cell_ok & (npts1 > 0)
+        m_in = (
+            ok
+            & jnp.take(pair_ok, jnp.maximum(cell1, 0))
+            & (cell2 == jnp.take(best_j, jnp.maximum(cell1, 0)))
+        )
+        inlier = inlier | m_in
+    return inlier
+
+
+@functools.partial(jax.jit, static_argnames=("size1", "size2", "cfg"))
+def gms_filter(
+    kpts1: Keypoints,
+    kpts2: Keypoints,
+    matches: Matches,
+    size1: tuple[int, int],
+    size2: tuple[int, int],
+    cfg: GmsConfig = GmsConfig(),
+) -> Matches:
+    """Filter ``matches`` to GMS inliers. size = (width, height)."""
+    xy1, xy2 = matches.gather_xy(kpts1, kpts2)
+    mmask = matches.mask
+
+    rot_perms = _rotation_perms()
+    rotations = range(8) if cfg.with_rotation else [0]
+    scales = _SCALE_RATIOS if cfg.with_scale else [1.0]
+
+    best_inlier = jnp.zeros(mmask.shape[0], bool)
+    best_count = jnp.int32(-1)
+    for s in scales:
+        rows2 = max(1, int(round(cfg.grid_rows * s)))
+        cols2 = max(1, int(round(cfg.grid_cols * s)))
+        for r in rotations:
+            inl = _run_config(
+                xy1, xy2, mmask, size1, size2, cfg, rows2, cols2, rot_perms[r]
+            )
+            cnt = jnp.sum(inl.astype(jnp.int32))
+            take = cnt > best_count
+            best_inlier = jnp.where(take, inl, best_inlier)
+            best_count = jnp.where(take, cnt, best_count)
+
+    return Matches(
+        idx1=matches.idx1,
+        idx2=matches.idx2,
+        distance=matches.distance,
+        mask=best_inlier,
+    )
