@@ -1,0 +1,182 @@
+"""ORB detect + describe, TPU-native.
+
+Replaces cv::ORB::create() used by the reference disparity benchmark
+(/root/reference/SfM-GMS/SfM-GMS/DisparityUtil.cpp:108). FAST-9 corner test
+and Harris ranking are pure VPU stencils; the 256-bit rotated-BRIEF
+descriptor is packed into 8 uint32 words and matched with the Hamming
+(XOR+popcount) path of tpusfm.kernels.distance.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusfm.config import OrbConfig
+from tpusfm.features.scalespace import gaussian_blur
+from tpusfm.types import Features, Keypoints
+
+# FAST circle of 16 offsets (radius 3), clockwise from 12 o'clock: (dy, dx)
+_FAST_OFFSETS = [
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+]
+
+_PATCH_R = 15  # orientation / descriptor patch radius
+
+
+def _shift(img, dy, dx):
+    """Shifted copy (circular; border effects are masked off downstream)."""
+    return jnp.roll(jnp.roll(img, -dy, axis=0), -dx, axis=1)
+
+
+def _fast_mask(img, threshold: float):
+    """FAST-9 corner mask: >=9 contiguous circle pixels all brighter/darker."""
+    t = threshold
+    ring = jnp.stack([_shift(img, dy, dx) for dy, dx in _FAST_OFFSETS])  # (16,H,W)
+    bright = (ring > img[None] + t).astype(jnp.float32)
+    dark = (ring < img[None] - t).astype(jnp.float32)
+
+    def arc9(b):
+        # any length-9 circular run of ones: windowed sum over doubled axis
+        bb = jnp.concatenate([b, b[:8]], axis=0)  # (24,H,W)
+        c = jnp.cumsum(jnp.pad(bb, ((1, 0), (0, 0), (0, 0))), axis=0)
+        win = c[9:] - c[:-9]  # (16,H,W): length-9 window sums
+        return jnp.max(win, axis=0) >= 9.0
+
+    return arc9(bright) | arc9(dark)
+
+
+def _harris(img, k: float = 0.04):
+    """Harris corner response (for ORB's HARRIS_SCORE ranking)."""
+    dx = (_shift(img, 0, 1) - _shift(img, 0, -1)) * 0.5
+    dy = (_shift(img, 1, 0) - _shift(img, -1, 0)) * 0.5
+    gxx = gaussian_blur(dx * dx, 1.5)
+    gyy = gaussian_blur(dy * dy, 1.5)
+    gxy = gaussian_blur(dx * dy, 1.5)
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    return det - k * tr * tr
+
+
+def _brief_pattern(n_bits: int, patch: int) -> np.ndarray:
+    """Deterministic BRIEF sampling pattern: (n_bits, 4) = (y1, x1, y2, x2),
+    Gaussian-distributed offsets (sigma = patch/5), clipped to the patch."""
+    rng = np.random.default_rng(1234)
+    sigma = patch / 5.0
+    pts = rng.normal(0.0, sigma, size=(n_bits, 4))
+    lim = patch // 2 - 2
+    return np.clip(pts, -lim, lim).astype(np.float32)
+
+
+_PATTERN = _brief_pattern(256, 2 * _PATCH_R + 1)
+
+
+def _orientation_ic(img, x, y):
+    """Intensity-centroid orientation over a disc of radius _PATCH_R."""
+    r = _PATCH_R
+    g = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    gu, gv = jnp.meshgrid(g, g)
+    disc = (gu * gu + gv * gv) <= r * r
+    from tpusfm.features.sift import _bilinear
+
+    patch = _bilinear(img, x + gu, y + gv) * disc
+    m10 = jnp.sum(patch * gu)
+    m01 = jnp.sum(patch * gv)
+    return jnp.arctan2(m01, m10)
+
+
+def _brief_descriptor(blur, x, y, angle):
+    """256 rotated binary tests -> (8,) uint32."""
+    from tpusfm.features.sift import _bilinear
+
+    pat = jnp.asarray(_PATTERN)  # (256, 4): y1 x1 y2 x2
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    y1 = pat[:, 0] * c + pat[:, 1] * s
+    x1 = -pat[:, 0] * s + pat[:, 1] * c
+    y2 = pat[:, 2] * c + pat[:, 3] * s
+    x2 = -pat[:, 2] * s + pat[:, 3] * c
+    v1 = _bilinear(blur, x + x1, y + y1)
+    v2 = _bilinear(blur, x + x2, y + y2)
+    bits = (v1 < v2).astype(jnp.uint32)  # (256,)
+    words = bits.reshape(8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def orb_detect_and_compute(img, cfg: OrbConfig = OrbConfig()) -> Features:
+    """ORB features for a grayscale image (H, W) in [0, 1].
+
+    Returns Features with desc of dtype uint32, shape (max_features, 8).
+    Match with metric="hamming".
+    """
+    img = jnp.asarray(img, jnp.float32)
+    t = cfg.fast_threshold / 255.0
+
+    levels = []
+    cur = img
+    for lvl in range(cfg.n_levels):
+        h, w = cur.shape
+        if min(h, w) < 4 * _PATCH_R:
+            break
+        levels.append((cur, cfg.scale_factor**lvl))
+        nh = int(round(h / cfg.scale_factor))
+        nw = int(round(w / cfg.scale_factor))
+        cur = jax.image.resize(img, (nh, nw), "linear")
+
+    k_lvl = max(32, int(math.ceil(cfg.max_features / max(1, len(levels)) * 1.5)))
+    xs_all, sc_all, an_all, rs_all, ds_all, mk_all = [], [], [], [], [], []
+    for lvl_img, scale in levels:
+        h, w = lvl_img.shape
+        corners = _fast_mask(lvl_img, t)
+        harris = _harris(lvl_img)
+        # 3x3 NMS on harris, restricted to FAST corners, away from borders
+        nms = jax.lax.reduce_window(
+            harris, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        )
+        ys = jnp.arange(h)[:, None]
+        xs = jnp.arange(w)[None, :]
+        b = _PATCH_R + 1
+        interior = (ys >= b) & (ys < h - b) & (xs >= b) & (xs < w - b)
+        ok = corners & (harris >= nms) & interior
+        score = jnp.where(ok, harris, -jnp.inf)
+        top_v, top_i = jax.lax.top_k(score.reshape(-1), k_lvl)
+        valid = jnp.isfinite(top_v)
+        py = (top_i // w).astype(jnp.float32)
+        px = (top_i % w).astype(jnp.float32)
+
+        blur = gaussian_blur(lvl_img, 2.0)
+        ang = jax.vmap(lambda a, b_: _orientation_ic(blur, a, b_))(px, py)
+        desc = jax.vmap(lambda a, b_, c_: _brief_descriptor(blur, a, b_, c_))(px, py, ang)
+
+        xs_all.append(jnp.stack([px, py], 1) * scale)
+        sc_all.append(jnp.full((k_lvl,), scale * 31.0 / 2))
+        an_all.append(jnp.mod(ang, 2 * jnp.pi))
+        rs_all.append(jnp.where(valid, top_v, 0.0))
+        ds_all.append(desc)
+        mk_all.append(valid)
+
+    xy = jnp.concatenate(xs_all)
+    sc = jnp.concatenate(sc_all)
+    an = jnp.concatenate(an_all)
+    rs = jnp.concatenate(rs_all)
+    ds = jnp.concatenate(ds_all)
+    mk = jnp.concatenate(mk_all)
+
+    k = cfg.max_features
+    svals = jnp.where(mk, rs, -jnp.inf)
+    _, sel = jax.lax.top_k(svals, k)
+    sel_mask = jnp.take(mk, sel) & jnp.isfinite(jnp.take(svals, sel))
+    kpts = Keypoints(
+        xy=jnp.where(sel_mask[:, None], jnp.take(xy, sel, axis=0), 0.0),
+        scale=jnp.where(sel_mask, jnp.take(sc, sel), 0.0),
+        angle=jnp.where(sel_mask, jnp.take(an, sel), 0.0),
+        response=jnp.where(sel_mask, jnp.take(rs, sel), 0.0),
+        mask=sel_mask,
+    )
+    desc = jnp.where(sel_mask[:, None], jnp.take(ds, sel, axis=0), 0)
+    return Features(kpts=kpts, desc=desc.astype(jnp.uint32))
