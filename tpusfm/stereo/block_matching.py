@@ -1,0 +1,106 @@
+"""Block-matching stereo (StereoBM equivalent).
+
+Replaces the reference's cv::StereoBM configuration
+(/root/reference/SfM-GMS/SfM-GMS/DisparityUtil.cpp:22-49: numDisparities=224,
+blockSize(default 21 -> here config), minDisparity=-39, preFilterCap=61,
+textureThreshold=507, uniqueness=0, disp12MaxDiff=1) as a streaming scan over
+the disparity axis: per-disparity SAD costs come from an integral-image box
+filter and only running (best, second, argbest) accumulators are kept — the
+cost volume is never materialized. Left-right consistency reuses the same
+scan by tracking the right view's running minimum of shifted costs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpusfm.config import StereoBMConfig
+from tpusfm.stereo.filters import box_filter
+
+_BIG = 1e30
+
+
+def _xsobel_prefilter(img, cap: float):
+    """OpenCV PREFILTER_XSOBEL: horizontal Sobel clamped to [-cap, cap]."""
+    g = jnp.asarray(img, jnp.float32) * 255.0
+    p = jnp.pad(g, ((1, 1), (1, 1)), mode="edge")
+    sob = (
+        (p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+        - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])
+    ) * 0.25
+    return jnp.clip(sob, -cap, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def stereo_bm(left, right, cfg: StereoBMConfig = StereoBMConfig()):
+    """Dense disparity of the left image. Returns (disp (H, W) float32,
+    valid (H, W) bool). Disparity in pixels (left_x - right_x), can include
+    the negative range when cfg.min_disparity < 0."""
+    h, w = left.shape
+    r = cfg.block_size // 2
+    cap = float(cfg.prefilter_cap)
+    lp = _xsobel_prefilter(left, cap)
+    rp = _xsobel_prefilter(right, cap)
+
+    texture = box_filter(jnp.abs(lp), r)
+    xs = jnp.arange(w)[None, :]
+
+    disps = jnp.arange(cfg.min_disparity, cfg.min_disparity + cfg.num_disparities)
+
+    def body(carry, d):
+        bestL, best2L, argL, bestR, argR = carry
+        # right image shifted so column x aligns with right column x - d
+        rs = jnp.roll(rp, d, axis=1)
+        cost = box_filter(jnp.abs(lp - rs), r)
+        # columns whose window would wrap are invalid
+        ok = (xs - d >= r) & (xs - d < w - r) & (xs >= r) & (xs < w - r)
+        cost = jnp.where(ok, cost, _BIG)
+
+        better = cost < bestL
+        best2L = jnp.where(better, bestL, jnp.minimum(best2L, cost))
+        bestL = jnp.where(better, cost, bestL)
+        argL = jnp.where(better, d, argL)
+
+        # right-view cost: costR(x, d) = costL(x + d, d)
+        costR = jnp.roll(cost, -d, axis=1)
+        betterR = costR < bestR
+        bestR = jnp.where(betterR, costR, bestR)
+        argR = jnp.where(betterR, d, argR)
+        return (bestL, best2L, argL, bestR, argR), None
+
+    init = (
+        jnp.full((h, w), _BIG),
+        jnp.full((h, w), _BIG),
+        jnp.zeros((h, w), jnp.int32),
+        jnp.full((h, w), _BIG),
+        jnp.zeros((h, w), jnp.int32),
+    )
+    (bestL, best2L, argL, bestR, argR), _ = jax.lax.scan(body, init, disps)
+
+    valid = bestL < _BIG / 2
+    # texture: flat windows are unreliable (reference threshold 507 on 8-bit sums)
+    valid &= texture >= cfg.texture_threshold
+    # uniqueness (disabled when ratio = 0, as in the reference)
+    if cfg.uniqueness_ratio > 0:
+        valid &= best2L * 100 >= bestL * (100 + cfg.uniqueness_ratio)
+    # left-right consistency: |dL(x) - dR(x - dL(x))| <= disp12_max_diff
+    if cfg.disp12_max_diff >= 0:
+        xr = jnp.clip(xs - argL, 0, w - 1)
+        dR_at = jnp.take_along_axis(argR, xr, axis=1)
+        valid &= jnp.abs(argL - dR_at) <= cfg.disp12_max_diff
+
+    return argL.astype(jnp.float32), valid
+
+
+def normalize_disparity(disp, valid):
+    """8-bit display normalization with the reference's 0->255 swap
+    (DisparityUtil.cpp:39-48)."""
+    d = jnp.where(valid, disp, 0.0)
+    lo = jnp.min(jnp.where(valid, disp, jnp.inf))
+    hi = jnp.max(jnp.where(valid, disp, -jnp.inf))
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-6)
+    out = jnp.clip((d - lo) * scale, 0, 255)
+    out = jnp.where(out == 0, 255.0, out)
+    return out / 255.0
