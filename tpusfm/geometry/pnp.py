@@ -20,8 +20,13 @@ from tpusfm.geometry.projection import rodrigues, rodrigues_inv
 def _dlt_pnp(X, xn, w=None):
     """DLT pose from >=6 3D-2D correspondences (normalized coords).
 
-    X: (N, 3), xn: (N, 2). Returns (R, t)."""
+    X: (N, 3), xn: (N, 2). Returns (R, t). Hartley-normalizes the 3D points
+    (center + isotropic scale) before the SVD — essential in f32 when the
+    point cloud is anisotropic or has far-depth tails."""
     n = X.shape[0]
+    Xm = jnp.mean(X, axis=0)
+    Xs = jnp.mean(jnp.linalg.norm(X - Xm, axis=1)) / jnp.sqrt(3.0) + 1e-9
+    X = (X - Xm) / Xs
     ones = jnp.ones((n, 1))
     Xh = jnp.concatenate([X, ones], axis=1)  # (N, 4)
     zeros = jnp.zeros_like(Xh)
@@ -50,6 +55,8 @@ def _dlt_pnp(X, xn, w=None):
     take1 = z1 >= z2
     R = jnp.where(take1, R1, R2)
     t = jnp.where(take1, t1, t2)
+    # denormalize: x ~ R((X-Xm)/Xs) + t  =>  t_true = Xs*t - R@Xm (R unchanged)
+    t = Xs * t - R @ Xm
     return R, t
 
 
@@ -86,6 +93,32 @@ def pnp_ransac(
     )(keys)
 
     Rs, ts = jax.vmap(lambda i: _dlt_pnp(X[i], xn[i]))(idx)
+
+    # Per-hypothesis GN polish on its own minimal sample: the raw 6-point DLT
+    # is too noise-sensitive to score well; three GN steps on the sample give
+    # P3P-like accuracy while staying one big vmap.
+    def polish(R0, t0, i):
+        Xi = X[i]
+        xi = xn[i]
+        p0 = jnp.concatenate([rodrigues_inv(R0), t0])
+
+        def res(p):
+            Rm = rodrigues(p[:3])
+            Xc = Xi @ Rm.T + p[3:]
+            z = jnp.where(jnp.abs(Xc[:, 2]) > 1e-9, Xc[:, 2], 1e-9)
+            return ((Xc[:, :2] / z[:, None]) - xi).reshape(-1)
+
+        def gstep(p, _):
+            J = jax.jacfwd(res)(p)
+            r = res(p)
+            H = J.T @ J + jnp.eye(6) * 1e-6
+            return p - jnp.linalg.solve(H, J.T @ r), None
+
+        p, _ = jax.lax.scan(gstep, p0, None, length=3)
+        p = jnp.nan_to_num(p)
+        return rodrigues(p[:3]), p[3:]
+
+    Rs, ts = jax.vmap(polish)(Rs, ts, idx)
     thr = (threshold_px / focal) ** 2
 
     def score(R, t):

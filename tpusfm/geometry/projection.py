@@ -56,7 +56,9 @@ def project_points(X, rvec, tvec, K, dist=None):
     R = rodrigues(rvec)
     Xc = X @ R.T + tvec
     z = jnp.maximum(Xc[..., 2:3], 1e-9)
-    xn = Xc[..., :2] / z
+    # Clamp to a generous FOV so r^6 distortion terms cannot overflow f32 for
+    # degenerate (masked/behind-camera) points — 0 * inf = NaN otherwise.
+    xn = jnp.clip(Xc[..., :2] / z, -64.0, 64.0)
     if dist is not None:
         xn = distort(xn, dist)
     fx, fy = K[0, 0], K[1, 1]
