@@ -137,7 +137,19 @@ def _bilinear(img, x, y):
     return (v00 * (1 - dx) + v01 * dx) * (1 - dy) + (v10 * (1 - dx) + v11 * dx) * dy
 
 
-_ORI_GRID = 8  # half-width of the 17x17 orientation sample grid
+def _nearest2(imga, imgb, x, y):
+    """Nearest-pixel sample of two same-shape maps at float coords.
+
+    One rounded gather per map instead of four — the orientation/descriptor
+    sample grids are denser than the pixel grid, so nearest sampling costs
+    little accuracy and dominates the TPU gather budget."""
+    h, w = imga.shape
+    xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
+    return imga[yi, xi], imgb[yi, xi]
+
+
+_ORI_GRID = 4  # half-width of the (2g+1)^2 orientation sample grid
 
 
 def _orientation(dx_maps, dy_maps, layer, x, y, sigma, cfg: SiftConfig):
@@ -150,10 +162,7 @@ def _orientation(dx_maps, dy_maps, layer, x, y, sigma, cfg: SiftConfig):
     gu, gv = jnp.meshgrid(g, g)
     sx = x + gu * radius
     sy = y + gv * radius
-    dxm = dx_maps[layer]
-    dym = dy_maps[layer]
-    gx = _bilinear(dxm, sx, sy)
-    gy = _bilinear(dym, sx, sy)
+    gx, gy = _nearest2(dx_maps[layer], dy_maps[layer], sx, sy)
     mag = jnp.sqrt(gx * gx + gy * gy)
     wgt = jnp.exp(-(gu * gu + gv * gv) * (radius ** 2) / (2.0 * (1.5 * sigma) ** 2))
     ang = jnp.arctan2(gy, gx)  # [-pi, pi]
@@ -202,8 +211,7 @@ def _descriptor(dx_maps, dy_maps, layer, x, y, sigma, angle, cfg: SiftConfig):
     # rotate to image frame, scale by cell width
     ox = (cu * ca - cv * sa) * hist_width
     oy = (cu * sa + cv * ca) * hist_width
-    gx = _bilinear(dx_maps[layer], x + ox, y + oy)
-    gy = _bilinear(dy_maps[layer], x + ox, y + oy)
+    gx, gy = _nearest2(dx_maps[layer], dy_maps[layer], x + ox, y + oy)
     mag = jnp.sqrt(gx * gx + gy * gy)
     wgt = jnp.exp(-(cu * cu + cv * cv) / (0.5 * d * d))
     theta = jnp.mod(jnp.arctan2(gy, gx) - angle, 2 * jnp.pi)
@@ -318,7 +326,6 @@ def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
     base = ss.gaussian_blur(base, inc)
 
     n_oct = ss.num_octaves(base.shape[0], base.shape[1], cfg.max_octaves)
-    k_oct = max(64, cfg.max_features // 2)
 
     outs = []
     cur = base
@@ -327,6 +334,9 @@ def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
             break
         gauss, dog = ss.build_octave(cur, cfg.sigma, cfg.n_octave_layers)
         octave_scale = base_scale * (2.0 ** o)
+        # candidate budget shrinks with octave area: higher octaves have
+        # ~4x fewer pixels, so a uniform budget would waste gather bandwidth
+        k_oct = max(32, cfg.max_features >> o)
         outs.append(_process_octave(gauss, dog, octave_scale, k_oct, cfg))
         cur = ss.downsample2(gauss[cfg.n_octave_layers])
 
