@@ -13,10 +13,15 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: first bench invocation pays the XLA compiles,
+# later ones start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 SIZE = (378, 504)  # H, W
 N_FEATURES = 1024
@@ -52,22 +57,24 @@ def bench_tpusfm(g1, g2):
     j1 = jnp.array(g1)
     j2 = jnp.array(g2)
 
-    def run():
-        f1 = sift_detect_and_compute(j1, cfg.sift)
-        f2 = sift_detect_and_compute(j2, cfg.sift)
+    def run(a, b):
+        f1 = sift_detect_and_compute(a, cfg.sift)
+        f2 = sift_detect_and_compute(b, cfg.sift)
         r = two_view_sfm(f1, f2, intr, "bf", (w, h), (w, h), cfg)
         return r
 
+    # distinct device buffers per iteration so the runtime cannot dedup
+    pairs = [(j1 + 0.0, j2 + 0.0) for _ in range(ITERS)]
     for _ in range(WARMUP):
-        r = run()
+        r = run(j1, j2)
     jax.block_until_ready(r.points3d)
+    # throughput: pipeline all pairs (a production frame stream), block once
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        r = run()
-    jax.block_until_ready(r.points3d)
+    rs = [run(a, b) for a, b in pairs]
+    jax.block_until_ready([r.points3d for r in rs])
     dt = (time.perf_counter() - t0) / ITERS
     # a "frame" = one image processed through the full pipeline (2 per pair)
-    return 2.0 / dt, int(r.n_points)
+    return 2.0 / dt, int(rs[-1].n_points)
 
 
 def bench_reference(g1, g2):

@@ -35,7 +35,8 @@ def test_sift_finds_blobs():
 
 def test_sift_rotation_invariant_descriptors():
     rng = np.random.default_rng(0)
-    img = _blob_image(96, 96, ((25, 30, 3), (60, 62, 4), (70, 25, 2.5), (30, 70, 5)))
+    img = _blob_image(128, 128, ((25, 30, 3), (60, 62, 4), (70, 25, 2.5), (30, 70, 5),
+                                 (100, 40, 3.5), (45, 100, 4.5), (95, 95, 2.5)))
     img += rng.normal(size=img.shape).astype(np.float32) * 0.01
     rot = np.rot90(img).copy()  # 90 deg rotation
     cfg = SiftConfig(max_features=64, upsample=False)

@@ -32,6 +32,10 @@ class SiftConfig:
     descriptor_bins: int = 8       # orientation bins -> 128-D
     descriptor_scale_factor: float = 3.0
     descriptor_clip: float = 0.2
+    # fast path: descriptors/orientations sampled from pooled oriented
+    # gradient planes (DAISY-style) — ~30x fewer gathers on TPU than the
+    # per-sample formulation; False selects the precise per-sample path.
+    fast_descriptor: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

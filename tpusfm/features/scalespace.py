@@ -58,16 +58,40 @@ def num_octaves(h: int, w: int, max_octaves: int) -> int:
 
 def build_octave(base, sigma: float, n_layers: int):
     """One octave: (n_layers+3, H, W) Gaussian stack from ``base`` (already at
-    blur ``sigma``), plus the (n_layers+2, H, W) DoG stack."""
+    blur ``sigma``), plus the (n_layers+2, H, W) DoG stack.
+
+    All levels are blurred directly from ``base`` as ONE multi-output-channel
+    separable conv pair (incremental sigmas composed analytically) — no
+    sequential blur chain, so XLA sees a single wide conv instead of
+    n_layers+2 dependent ones."""
     k = 2.0 ** (1.0 / n_layers)
-    gauss = [base]
-    prev_sig = sigma
-    for i in range(1, n_layers + 3):
-        total = sigma * (k ** i)
-        inc = math.sqrt(max(total * total - prev_sig * prev_sig, 1e-8))
-        gauss.append(gaussian_blur(gauss[-1], inc))
-        prev_sig = total
-    g = jnp.stack(gauss)
+    # level i has total blur sigma*k^i; relative to base (already at sigma):
+    incs = [
+        math.sqrt(max((sigma * k**i) ** 2 - sigma * sigma, 1e-8))
+        for i in range(1, n_layers + 3)
+    ]
+    kernels = [gaussian_kernel1d(s) for s in incs]
+    width = max(len(kk) for kk in kernels)
+    r = (width - 1) // 2
+    K = np.zeros((len(kernels), 1, width), np.float32)
+    for i, kk in enumerate(kernels):
+        off = (width - len(kk)) // 2
+        K[i, 0, off : off + len(kk)] = kk
+    Kj = jnp.asarray(K)
+
+    x = base[None, None]  # (1, 1, H, W)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    rows = jax.lax.conv_general_dilated(
+        xp, Kj[:, :, :, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # (1, L, H, W) — per-level row blur
+    rp = jnp.pad(rows, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
+    cols = jax.lax.conv_general_dilated(
+        rp, Kj[:, :, None, :].reshape(len(kernels), 1, 1, width), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=len(kernels),
+    )  # (1, L, H, W) — depthwise per-level col blur
+    g = jnp.concatenate([base[None], cols[0]], axis=0)
     dog = g[1:] - g[:-1]
     return g, dog
 

@@ -26,6 +26,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpusfm.config import SiftConfig
 from tpusfm.features import scalespace as ss
@@ -79,6 +80,96 @@ def _derivatives(c):
     dys = (c[2, 2, 1] - c[2, 0, 1] - c[0, 2, 1] + c[0, 0, 1]) * 0.25
     H = jnp.array([[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]])
     return g, H, v, (dxx, dyy, dxy)
+
+
+_CUBE_OFFS = np.array(
+    [(dl, dy, dx) for dl in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+    np.int32,
+)
+
+
+def _gather_cubes(dog, l, y, x):
+    """Batch 3x3x3 cubes: (K,) indices -> (K, 3, 3, 3) via one take."""
+    L, h, w = dog.shape
+    offs = jnp.asarray(_CUBE_OFFS)  # (27, 3)
+    flat = (
+        (l[:, None] + offs[None, :, 0]) * h + (y[:, None] + offs[None, :, 1])
+    ) * w + (x[:, None] + offs[None, :, 2])
+    return jnp.take(dog.reshape(-1), flat, axis=0).reshape(-1, 3, 3, 3)
+
+
+def _derivatives_batch(c):
+    """Batched gradient/Hessian of (K, 3, 3, 3) cubes ((x, y, s) order)."""
+    g = jnp.stack([
+        (c[:, 1, 1, 2] - c[:, 1, 1, 0]) * 0.5,
+        (c[:, 1, 2, 1] - c[:, 1, 0, 1]) * 0.5,
+        (c[:, 2, 1, 1] - c[:, 0, 1, 1]) * 0.5,
+    ], axis=1)
+    v = c[:, 1, 1, 1]
+    dxx = c[:, 1, 1, 2] - 2 * v + c[:, 1, 1, 0]
+    dyy = c[:, 1, 2, 1] - 2 * v + c[:, 1, 0, 1]
+    dss = c[:, 2, 1, 1] - 2 * v + c[:, 0, 1, 1]
+    dxy = (c[:, 1, 2, 2] - c[:, 1, 2, 0] - c[:, 1, 0, 2] + c[:, 1, 0, 0]) * 0.25
+    dxs = (c[:, 2, 1, 2] - c[:, 2, 1, 0] - c[:, 0, 1, 2] + c[:, 0, 1, 0]) * 0.25
+    dys = (c[:, 2, 2, 1] - c[:, 2, 0, 1] - c[:, 0, 2, 1] + c[:, 0, 0, 1]) * 0.25
+    return g, (dxx, dyy, dss, dxy, dxs, dys), v
+
+
+def _solve3_newton(g, H6):
+    """-H^-1 g for batched symmetric 3x3 via adjugate (no LU): (K, 3)."""
+    dxx, dyy, dss, dxy, dxs, dys = H6
+    a, b, cq = dxx + 1e-10, dyy + 1e-10, dss + 1e-10
+    d, e, f = dxy, dxs, dys
+    # symmetric H = [[a, d, e], [d, b, f], [e, f, cq]]
+    A = b * cq - f * f
+    B = e * f - d * cq
+    C = d * f - b * e
+    det = a * A + d * B + e * C
+    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    D = a * cq - e * e
+    E = d * e - a * f
+    F = a * b - d * d
+    gx, gy, gs = g[:, 0], g[:, 1], g[:, 2]
+    ox = -(A * gx + B * gy + C * gs) / det
+    oy = -(B * gx + D * gy + E * gs) / det
+    os_ = -(C * gx + E * gy + F * gs) / det
+    return jnp.stack([ox, oy, os_], axis=1)
+
+
+def _refine_batch(dog, l0, y0, x0, n_layers: int, cfg: SiftConfig):
+    """Batched fixed-step subpixel localization: (K,) candidates -> refined
+    (l, y, x, offset, contrast, ok). One gather + closed-form solves per
+    iteration; no per-candidate vmap or LU."""
+    L, h, w = dog.shape
+
+    def clampi(l, y, x):
+        return (
+            jnp.clip(l, 1, L - 2),
+            jnp.clip(y, _BORDER, h - 1 - _BORDER),
+            jnp.clip(x, _BORDER, w - 1 - _BORDER),
+        )
+
+    l, y, x = clampi(l0, y0, x0)
+    for _ in range(2):
+        c = _gather_cubes(dog, l, y, x)
+        g, H6, _ = _derivatives_batch(c)
+        off = jnp.clip(jnp.nan_to_num(_solve3_newton(g, H6)), -1.5, 1.5)
+        move = (jnp.abs(off) > 0.5).astype(jnp.int32) * jnp.sign(off).astype(jnp.int32)
+        l, y, x = clampi(l + move[:, 2], y + move[:, 1], x + move[:, 0])
+
+    c = _gather_cubes(dog, l, y, x)
+    g, H6, v = _derivatives_batch(c)
+    off = jnp.nan_to_num(_solve3_newton(g, H6))
+    conv_ok = jnp.all(jnp.abs(off) < 0.6, axis=1)
+    off = jnp.clip(off, -0.5, 0.5)
+    contrast = v + 0.5 * jnp.sum(g * off, axis=1)
+    contrast_ok = jnp.abs(contrast) * n_layers >= cfg.contrast_threshold
+    dxx, dyy, _, dxy, _, _ = H6
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = cfg.edge_threshold
+    edge_ok = (det > 0) & (tr * tr * r < (r + 1) * (r + 1) * det)
+    return l, y, x, off, contrast, conv_ok & contrast_ok & edge_ok
 
 
 def _refine(dog, l0, y0, x0, n_layers: int, cfg: SiftConfig):
@@ -253,6 +344,130 @@ def _descriptor(dx_maps, dy_maps, layer, x, y, sigma, angle, cfg: SiftConfig):
     return desc / norm
 
 
+_N_PLANES = 8
+
+
+def _oriented_planes(dx, dy):
+    """Soft-bin gradient magnitude into 8 orientation planes: (H, W, 8)."""
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    ang = jnp.arctan2(dy, dx)
+    binf = jnp.mod(ang, 2 * jnp.pi) / (2 * jnp.pi) * _N_PLANES
+    b0 = jnp.floor(binf).astype(jnp.int32)
+    f = binf - b0
+    planes = []
+    for o in range(_N_PLANES):
+        w = jnp.where(b0 == o, 1.0 - f, 0.0) + jnp.where(
+            jnp.mod(b0 + 1, _N_PLANES) == o, f, 0.0
+        )
+        planes.append(mag * w)
+    return jnp.stack(planes, axis=-1)
+
+
+def _tri_pool(planes, radius: int):
+    """Separable triangular pooling of (H, W, C): the spatial bilinear cell
+    weighting of the SIFT descriptor, applied once densely instead of per
+    keypoint sample."""
+    r = max(1, int(radius))
+    k = jnp.concatenate([
+        jnp.arange(1, r + 1, dtype=jnp.float32) / r,
+        jnp.arange(r, 0, -1, dtype=jnp.float32)[1:] / r,
+    ]) if r > 1 else jnp.array([0.5, 1.0, 0.5])
+    k = k / jnp.max(k)
+    x = jnp.moveaxis(planes, -1, 0)  # (C, H, W)
+    rr = (k.shape[0] - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (rr, rr), (0, 0)))
+    x = jax.lax.conv_general_dilated(
+        xp[:, None], k.reshape(1, 1, -1, 1), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (rr, rr)))
+    x = jax.lax.conv_general_dilated(
+        xp[:, None], k.reshape(1, 1, 1, -1), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+    return jnp.moveaxis(x, 0, -1)
+
+
+def _take_planes(P, li, sx, sy):
+    """One batched nearest-neighbor gather from (L, H, W, C) planes.
+
+    li: (K,) layer ids; sx, sy: (K, S) float sample coords.
+    Returns (K, S, C). A single jnp.take on the flattened plane stack — one
+    gather HLO regardless of K and S (the vmapped fancy-indexing variant
+    compiled ~70s/octave on Mosaic)."""
+    L, h, w, C = P.shape
+    xi = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, h - 1)
+    flat = (li[:, None] * h + yi) * w + xi
+    return jnp.take(P.reshape(L * h * w, C), flat, axis=0)
+
+
+def _orientations_fast(Po, li, x, y, sigma, cfg: SiftConfig):
+    """Batch orientation from wide-pooled planes: (K,) -> (a1, a2, second)."""
+    n = _N_PLANES
+    g = jnp.array([-1.0, 0.0, 1.0])
+    gu, gv = jnp.meshgrid(g, g)
+    gu = gu.reshape(-1)
+    gv = gv.reshape(-1)
+    r = (1.5 * sigma)[:, None]
+    S = _take_planes(Po, li, x[:, None] + gu[None] * r, y[:, None] + gv[None] * r)
+    wgt = jnp.exp(-(gu**2 + gv**2) / 2.0)
+    hist = jnp.sum(S * wgt[None, :, None], axis=1)          # (K, 8)
+    hist = jnp.roll(hist, 1, 1) * 0.25 + hist * 0.5 + jnp.roll(hist, -1, 1) * 0.25
+
+    def interp(b):
+        l_ = jnp.take_along_axis(hist, jnp.mod(b - 1, n)[:, None], 1)[:, 0]
+        c = jnp.take_along_axis(hist, b[:, None], 1)[:, 0]
+        rr = jnp.take_along_axis(hist, jnp.mod(b + 1, n)[:, None], 1)[:, 0]
+        den = l_ - 2 * c + rr
+        d = jnp.where(jnp.abs(den) > 1e-12, 0.5 * (l_ - rr) / den, 0.0)
+        return jnp.mod((b + jnp.clip(d, -0.5, 0.5)) / n * 2 * jnp.pi, 2 * jnp.pi)
+
+    b1 = jnp.argmax(hist, axis=1)
+    is_loc = (hist >= jnp.roll(hist, 1, 1)) & (hist >= jnp.roll(hist, -1, 1))
+    cand = jnp.where(is_loc & (jnp.arange(n)[None] != b1[:, None]), hist, -1.0)
+    b2 = jnp.argmax(cand, axis=1)
+    peak2 = jnp.take_along_axis(cand, b2[:, None], 1)[:, 0]
+    second = peak2 >= cfg.orientation_peak_ratio * jnp.max(hist, axis=1)
+    return interp(b1), interp(b2), second
+
+
+# static 4x4 cell-center grid in cell units and its Gaussian window weights
+_CELLS = np.array([(u, v) for v in (-1.5, -0.5, 0.5, 1.5) for u in (-1.5, -0.5, 0.5, 1.5)],
+                  np.float32)
+_CELL_W = np.exp(-(_CELLS[:, 0] ** 2 + _CELLS[:, 1] ** 2) / 8.0).astype(np.float32)
+
+
+def _descriptors_fast(Pd, li, x, y, sigma, angle, cfg: SiftConfig):
+    """Batch descriptors from cell-pooled planes: 16 rotated cell-center
+    samples per keypoint, orientation bins circularly shifted by the
+    keypoint angle. (K,) inputs -> (K, 128)."""
+    n = _N_PLANES
+    cell = (cfg.descriptor_scale_factor * sigma)[:, None]
+    ca = jnp.cos(angle)[:, None]
+    sa = jnp.sin(angle)[:, None]
+    cu = jnp.asarray(_CELLS[:, 0])[None]
+    cv = jnp.asarray(_CELLS[:, 1])[None]
+    ox = (cu * ca - cv * sa) * cell
+    oy = (cu * sa + cv * ca) * cell
+    S = _take_planes(Pd, li, x[:, None] + ox, y[:, None] + oy)  # (K, 16, 8)
+    # rotate orientation bins: descriptor bin k = absolute bin (k + shift)
+    shift = angle / (2 * jnp.pi) * n
+    s0 = jnp.floor(shift).astype(jnp.int32)
+    f = (shift - s0)[:, None, None]
+    k = jnp.arange(n)[None]
+    idx0 = jnp.mod(k + s0[:, None], n)[:, None, :]              # (K, 1, 8)
+    idx1 = jnp.mod(idx0 + 1, n)
+    D = (
+        jnp.take_along_axis(S, jnp.broadcast_to(idx0, S.shape), 2) * (1.0 - f)
+        + jnp.take_along_axis(S, jnp.broadcast_to(idx1, S.shape), 2) * f
+    )
+    D = D * jnp.asarray(_CELL_W)[None, :, None]
+    desc = D.reshape(D.shape[0], -1)
+    norm = jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-6)
+    desc = jnp.minimum(desc / norm, cfg.descriptor_clip)
+    norm = jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-6)
+    return desc / norm
+
+
 def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig):
     """Detect + describe inside one octave. Returns padded per-octave arrays
     (xy_abs, sigma_abs, angle, response, desc, mask) with capacity 2*k_oct."""
@@ -269,9 +484,7 @@ def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig
     yi = (top_i % (h * w)) // w
     xi = top_i % w
 
-    l, y, x, off, contrast, ok = jax.vmap(
-        lambda a, b, c: _refine(dog, a, b, c, n_layers, cfg)
-    )(li, yi, xi)
+    l, y, x, off, contrast, ok = _refine_batch(dog, li, yi, xi, n_layers, cfg)
     ok = ok & cand_valid
 
     fx = x.astype(jnp.float32) + off[:, 0]
@@ -282,15 +495,31 @@ def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig
     dx_maps, dy_maps = ss.gradients(gauss)
     layer_idx = jnp.clip(jnp.round(fl).astype(jnp.int32), 1, n_layers)
 
-    a1, a2, second = jax.vmap(
-        lambda li_, xx, yy, ss_: _orientation(dx_maps, dy_maps, li_, xx, yy, ss_, cfg)
-    )(layer_idx, fx, fy, sigma_oct)
+    if cfg.fast_descriptor:
+        # dense oriented-gradient planes per layer, pooled once: descriptors
+        # and orientations become a handful of vector gathers per keypoint
+        Po_list, Pd_list = [], []
+        for l in range(1, n_layers + 1):
+            sigma_l = cfg.sigma * 2.0 ** (l / n_layers)
+            planes = _oriented_planes(dx_maps[l], dy_maps[l])
+            Pd_list.append(_tri_pool(planes, int(round(cfg.descriptor_scale_factor * sigma_l))))
+            Po_list.append(_tri_pool(planes, int(round(3.0 * sigma_l))))
+        Pd = jnp.stack(Pd_list)  # (n_layers, H, W, 8)
+        Po = jnp.stack(Po_list)
+        li0 = layer_idx - 1
+        a1, a2, second = _orientations_fast(Po, li0, fx, fy, sigma_oct, cfg)
+        d1 = _descriptors_fast(Pd, li0, fx, fy, sigma_oct, a1, cfg)
+        d2 = _descriptors_fast(Pd, li0, fx, fy, sigma_oct, a2, cfg)
+    else:
+        a1, a2, second = jax.vmap(
+            lambda li_, xx, yy, ss_: _orientation(dx_maps, dy_maps, li_, xx, yy, ss_, cfg)
+        )(layer_idx, fx, fy, sigma_oct)
 
-    desc_fn = jax.vmap(
-        lambda li_, xx, yy, ss_, aa: _descriptor(dx_maps, dy_maps, li_, xx, yy, ss_, aa, cfg)
-    )
-    d1 = desc_fn(layer_idx, fx, fy, sigma_oct, a1)
-    d2 = desc_fn(layer_idx, fx, fy, sigma_oct, a2)
+        desc_fn = jax.vmap(
+            lambda li_, xx, yy, ss_, aa: _descriptor(dx_maps, dy_maps, li_, xx, yy, ss_, aa, cfg)
+        )
+        d1 = desc_fn(layer_idx, fx, fy, sigma_oct, a1)
+        d2 = desc_fn(layer_idx, fx, fy, sigma_oct, a2)
 
     xy = jnp.stack([fx, fy], axis=1) * octave_scale
     sig = sigma_oct * octave_scale
@@ -306,40 +535,73 @@ def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _prepare_base(img, cfg: SiftConfig):
+    img = jnp.asarray(img, jnp.float32)
+    h, w = img.shape
+    if cfg.upsample:
+        base = jax.image.resize(img, (h * 2, w * 2), "linear")
+        init_blur = 1.0  # assumed 0.5 blur, doubled by upsampling
+    else:
+        base = img
+        init_blur = 0.5
+    inc = math.sqrt(max(cfg.sigma**2 - init_blur**2, 0.01))
+    return ss.gaussian_blur(base, inc)
+
+
+@functools.partial(jax.jit, static_argnames=("n_oct", "cfg"))
+def _octave_bases(base, n_oct: int, cfg: SiftConfig):
+    """All octave base images in ONE program (the only inherently sequential
+    part of the pyramid — cheap convs + downsamples)."""
+    # each next base: blur sigma -> 2*sigma (i.e. add sigma*sqrt(3)), decimate
+    down_sigma = cfg.sigma * math.sqrt(3.0)
+    bases = [base]
+    cur = base
+    for _ in range(n_oct - 1):
+        cur = ss.downsample2(ss.gaussian_blur(cur, down_sigma))
+        bases.append(cur)
+    return bases
+
+
+@functools.partial(jax.jit, static_argnames=("octave_scale", "k_oct", "cfg"))
+def _octave_detect(base_o, octave_scale: float, k_oct: int, cfg: SiftConfig):
+    """One octave detect+describe as its OWN jit, depending only on its base.
+
+    Per-octave programs keep XLA compile tractable (an 8-octave mega-program
+    took >10x the summed compile time) and — because octaves are mutually
+    independent — the runtime can execute them concurrently, which hides
+    per-dispatch latency (critical on the tunneled TPU backend)."""
+    gauss, dog = ss.build_octave(base_o, cfg.sigma, cfg.n_octave_layers)
+    return _process_octave(gauss, dog, octave_scale, k_oct, cfg)
+
+
 def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
     """SIFT keypoints + descriptors for a grayscale image (H, W) in [0, 1].
 
     Equivalent of SIFTDetectAndCompute
-    (/root/reference/SfM-GMS/SfM-GMS/FeatureMatchUtil.cpp:9-12)."""
-    img = jnp.asarray(img, jnp.float32)
-    h, w = img.shape
-
-    if cfg.upsample:
-        base = jax.image.resize(img, (h * 2, w * 2), "linear")
-        base_scale = 0.5
-        init_blur = 1.0  # assumed 0.5 blur, doubled by upsampling
-    else:
-        base = img
-        base_scale = 1.0
-        init_blur = 0.5
-    inc = math.sqrt(max(cfg.sigma**2 - init_blur**2, 0.01))
-    base = ss.gaussian_blur(base, inc)
+    (/root/reference/SfM-GMS/SfM-GMS/FeatureMatchUtil.cpp:9-12).
+    Structured as a shallow program DAG: bases -> independent octaves ->
+    merge, so multiple images pipeline through the device back-to-back."""
+    base = _prepare_base(img, cfg)
+    base_scale = 0.5 if cfg.upsample else 1.0
 
     n_oct = ss.num_octaves(base.shape[0], base.shape[1], cfg.max_octaves)
+    n_oct = min(n_oct, 1 + max(0, int(math.log2(min(base.shape) / (4 * _BORDER)))))
 
+    bases = _octave_bases(base, n_oct, cfg)
     outs = []
-    cur = base
-    for o in range(n_oct):
-        if min(cur.shape) < 4 * _BORDER:
+    for o, base_o in enumerate(bases):
+        if min(base_o.shape) < 4 * _BORDER:
             break
-        gauss, dog = ss.build_octave(cur, cfg.sigma, cfg.n_octave_layers)
-        octave_scale = base_scale * (2.0 ** o)
         # candidate budget shrinks with octave area: higher octaves have
         # ~4x fewer pixels, so a uniform budget would waste gather bandwidth
         k_oct = max(32, cfg.max_features >> o)
-        outs.append(_process_octave(gauss, dog, octave_scale, k_oct, cfg))
-        cur = ss.downsample2(gauss[cfg.n_octave_layers])
+        outs.append(_octave_detect(base_o, base_scale * (2.0 ** o), k_oct, cfg))
 
+    return _merge_octaves(outs, cfg.max_features)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_octaves(outs, k: int) -> Features:
     xy = jnp.concatenate([o[0] for o in outs])
     sig = jnp.concatenate([o[1] for o in outs])
     ang = jnp.concatenate([o[2] for o in outs])
@@ -347,7 +609,6 @@ def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
     desc = jnp.concatenate([o[4] for o in outs])
     mask = jnp.concatenate([o[5] for o in outs])
 
-    k = cfg.max_features
     score = jnp.where(mask, resp, -1.0)
     _, sel = jax.lax.top_k(score, k)
     sel_mask = jnp.take(mask, sel) & (jnp.take(score, sel) > 0)
