@@ -101,3 +101,61 @@ def test_sampson_zero_for_exact():
     E = tx @ R
     err = sampson_error(jnp.array(E, dtype=jnp.float32), jnp.array(x1), jnp.array(x2))
     assert float(jnp.max(err)) < 1e-6
+
+
+def test_five_point_minimal_solver():
+    """Candidates from 5 exact correspondences satisfy epipolar constraints
+    on held-out points, for general AND planar scenes (where the linear
+    8-point solver degenerates)."""
+    from tpusfm.geometry.five_point import five_point_essential
+
+    rng = np.random.default_rng(7)
+    for planar in (False, True):
+        r = rng.normal(size=3).astype(np.float32) * 0.1
+        R = np.asarray(rodrigues(jnp.array(r)))
+        t = rng.normal(size=3).astype(np.float32)
+        t /= np.linalg.norm(t)
+        X = rng.uniform([-1, -1, 4], [1, 1, 8], size=(50, 3))
+        if planar:
+            X[:, 2] = 5.0 + 0.3 * X[:, 0] - 0.2 * X[:, 1]
+        x1 = X[:, :2] / X[:, 2:]
+        Xc = X @ R.T + t
+        x2 = Xc[:, :2] / Xc[:, 2:]
+        Es, valid = five_point_essential(
+            jnp.array(x1[:5], jnp.float32), jnp.array(x2[:5], jnp.float32))
+        Es, valid = np.asarray(Es), np.asarray(valid)
+        assert valid.sum() >= 1
+        h1 = np.concatenate([x1, np.ones((50, 1))], 1)
+        h2 = np.concatenate([x2, np.ones((50, 1))], 1)
+        best = min(
+            np.abs(np.einsum("ni,ij,nj->n", h2, E, h1)).max()
+            for E, v in zip(Es, valid) if v)
+        assert best < 5e-3, (planar, best)
+
+
+def test_essential_ransac_planar_scene():
+    """Five-point RANSAC (the default) recovers pose from a purely planar
+    scene -- the configuration where 8-point essential estimation is
+    degenerate (reference handles this via findEssentialMat's 5-point,
+    /root/reference/SfM-GMS/SfM-GMS/SfMUtil.cpp:39)."""
+    rng = np.random.default_rng(11)
+    r = np.array([0.04, -0.2, 0.05], np.float32)
+    R = np.asarray(rodrigues(jnp.array(r)))
+    t = np.array([0.7, 0.1, 0.15], np.float32)
+    t /= np.linalg.norm(t)
+    X = rng.uniform([-1, -1, 0], [1, 1, 0], size=(200, 3)).astype(np.float32)
+    X[:, 2] = 5.0 + 0.4 * X[:, 0] + 0.25 * X[:, 1]      # a tilted plane
+    x1 = X[:, :2] / X[:, 2:]
+    Xc = X @ R.T + t
+    x2 = Xc[:, :2] / Xc[:, 2:]
+    mask = jnp.ones(len(x1), bool)
+    E, inl, n_inl = find_essential_ransac(
+        jnp.array(x1, jnp.float32), jnp.array(x2, jnp.float32), mask,
+        focal=800.0, cfg=RansacConfig(n_hypotheses=256, threshold_px=1.5,
+                                      solver="five_point"),
+    )
+    assert int(n_inl) >= 150, int(n_inl)
+    Rr, tr, ok = recover_pose(E, jnp.array(x1), jnp.array(x2), inl)
+    Rr, tr = np.asarray(Rr), np.asarray(tr)
+    assert abs(np.dot(tr, t)) > 0.99, (tr, t)
+    assert np.abs(Rr - R).max() < 0.02

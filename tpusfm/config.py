@@ -94,9 +94,12 @@ class RansacConfig:
     TPU-native: a fixed batch of hypotheses evaluated in parallel."""
 
     n_hypotheses: int = 512
-    sample_size: int = 8           # 8-point solver (batched)
+    sample_size: int = 8           # minimal-sample size for the 8-point path
     threshold_px: float = 1.0
     seed: int = 0
+    # "five_point" (Nister minimal solver; handles planar scenes, like the
+    # reference's findEssentialMat) or "eight_point" (linear, cheaper).
+    solver: str = "five_point"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,5 +1,5 @@
-"""Essential-matrix estimation: batched 8-point solver inside a fixed-budget
-RANSAC.
+"""Essential-matrix estimation: batched minimal solvers inside a fixed-budget
+RANSAC (5-point Nister via five_point.py, or linear 8-point).
 
 TPU-native re-design of cv::findEssentialMat(RANSAC, prob=0.7, thr=1.0px)
 (/root/reference/SfM-GMS/SfM-GMS/SfMUtil.cpp:39): instead of sequential
@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from tpusfm.config import RansacConfig
+from tpusfm.geometry.five_point import five_point_essential
 
 
 def _eight_point(x1, x2, w=None):
@@ -65,24 +66,31 @@ def find_essential_ransac(x1n, x2n, mask, focal, cfg: RansacConfig = RansacConfi
     probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
 
     keys = jax.random.split(key, cfg.n_hypotheses)
+    sample_size = 5 if cfg.solver == "five_point" else cfg.sample_size
 
     def sample_idx(k):
-        return jax.random.choice(k, n, shape=(cfg.sample_size,), replace=False, p=probs)
+        return jax.random.choice(k, n, shape=(sample_size,), replace=False, p=probs)
 
     idx = jax.vmap(sample_idx)(keys)               # (H, S)
     s1 = jnp.take(x1n, idx, axis=0)                 # (H, S, 2)
     s2 = jnp.take(x2n, idx, axis=0)
 
-    Es = jax.vmap(_eight_point)(s1, s2)             # (H, 3, 3)
+    if cfg.solver == "five_point":
+        Es, Evalid = jax.vmap(five_point_essential)(s1, s2)   # (H,10,3,3)
+        Es = Es.reshape(-1, 3, 3)
+        Evalid = Evalid.reshape(-1)
+    else:
+        Es = jax.vmap(_eight_point)(s1, s2)         # (H, 3, 3)
+        Evalid = jnp.ones(Es.shape[0], bool)
 
     thr = (cfg.threshold_px / focal) ** 2
 
-    def score(E):
+    def score(E, ok):
         err = sampson_error(E, x1n, x2n)
-        inl = (err < thr) & mask
+        inl = (err < thr) & mask & ok
         return jnp.sum(inl.astype(jnp.int32)), inl
 
-    counts, inls = jax.vmap(score)(Es)
+    counts, inls = jax.vmap(score)(Es, Evalid)
     best = jnp.argmax(counts)
     E0 = Es[best]
     inl0 = inls[best]
