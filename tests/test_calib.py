@@ -41,6 +41,40 @@ def test_calibrate_recovers_intrinsics():
     assert rms < 0.3, rms
 
 
+def test_calibrate_real_chessboard_images():
+    """The reference's actual calibration task: 10 photos of a 6x9 board at
+    2016x1512 (/root/reference/SfM-GMS/CalibrationImages, driver
+    main.cpp:59-67). Requires >=8/10 boards detected and an LM-refined
+    reprojection RMS below 1.2 px (cv2.calibrateCamera on the same
+    correspondences reports 1.0638 px)."""
+    import os
+
+    import pytest
+
+    from tpusfm.io import imread_gray
+
+    root = "/root/reference/SfM-GMS/CalibrationImages"
+    if not os.path.isdir(root):
+        pytest.skip("reference calibration images unavailable")
+    rows, cols = 6, 9
+    pts = []
+    for i in range(10):
+        g = imread_gray(os.path.join(root, f"IMG_{i}.jpg"))
+        c, found = find_chessboard_corners(g, rows, cols)
+        if found:
+            pts.append(c)
+    assert len(pts) >= 8, f"only {len(pts)}/10 boards found"
+    h, w = np.asarray(g).shape
+    intr, _, _, rms = calibrate_camera(board_object_points(rows, cols), np.stack(pts), (w, h))
+    K = np.asarray(intr.K)
+    assert rms < 1.2, rms
+    # fx/fy from the committed artifact (cv2 parity: 1664.2 / 1663.5)
+    assert abs(K[0, 0] - 1664.0) < 40, K
+    assert abs(K[1, 1] - 1664.0) < 40, K
+    assert abs(K[0, 2] - w / 2) < 0.05 * w, K
+    assert abs(K[1, 2] - h / 2) < 0.05 * h, K
+
+
 def test_chessboard_detection_synthetic():
     # render an 8x11-square checkerboard -> 7x10 inner corners; ask for 6x9 sub?
     # render exactly (rows+1)x(cols+1) squares so inner corners = rows x cols

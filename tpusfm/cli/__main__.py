@@ -43,10 +43,31 @@ def _prep_image(path, max_size):
 
 
 def _default_intr(w, h):
+    """Intrinsics for the bundled camera, from the committed calibration.
+
+    out/calib.npz is produced by `cli calibrate` on the reference's 10
+    chessboard photos (/root/reference/SfM-GMS/CalibrationImages, driver
+    main.cpp:59-67); it is rescaled here from the calibration resolution to
+    (w, h). Falls back to a generic focal if the artifact is missing."""
+    import os
+
     from tpusfm.types import CameraIntrinsics
 
-    # calibrated focal for the bundled camera: fx ~ 0.838 * width
-    return CameraIntrinsics.ideal(0.838 * w, 0.838 * w, w / 2, h / 2)
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "out", "calib.npz")
+    if os.path.exists(path):
+        import jax.numpy as jnp
+
+        z = np.load(path)
+        K, (cw, ch) = z["K"], z["image_size"]
+        sx, sy = w / cw, h / ch
+        Ks = np.array(
+            [[K[0, 0] * sx, 0, K[0, 2] * sx],
+             [0, K[1, 1] * sy, K[1, 2] * sy],
+             [0, 0, 1]], np.float32,
+        )
+        # normalized-coordinate distortion coefficients are scale-invariant
+        return CameraIntrinsics(K=jnp.asarray(Ks), dist=jnp.asarray(z["dist"], jnp.float32))
+    return CameraIntrinsics.ideal(0.85 * w, 0.85 * w, w / 2, h / 2)
 
 
 def cmd_match(args):

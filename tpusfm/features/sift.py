@@ -363,27 +363,42 @@ def _oriented_planes(dx, dy):
     return jnp.stack(planes, axis=-1)
 
 
+def _box1d(x, m: int, a: int, axis: int):
+    """Centered running sum of ``m`` samples along ``axis`` (zero padding),
+    window [i-a, i+m-1-a], via cumulative sums and static slices — O(N) and
+    radius-independent (the naive 1-channel conv formulation starved the MXU
+    and dominated the whole SIFT runtime)."""
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    b = m - 1 - a
+    c = jnp.cumsum(x, axis=-1)
+    # S[i] = csum[i+b] - csum[i-a-1]  (csum[j<0] = 0, csum[j>=n] = csum[n-1])
+    hi = jnp.concatenate(
+        [c[..., b:], jnp.repeat(c[..., -1:], min(b, n), axis=-1)][: 2 if b else 1],
+        axis=-1,
+    )[..., :n]
+    lo = jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (min(a + 1, n),), x.dtype), c[..., : n - a - 1]],
+        axis=-1,
+    )[..., :n]
+    return jnp.moveaxis(hi - lo, -1, axis)
+
+
 def _tri_pool(planes, radius: int):
     """Separable triangular pooling of (H, W, C): the spatial bilinear cell
     weighting of the SIFT descriptor, applied once densely instead of per
-    keypoint sample."""
-    r = max(1, int(radius))
-    k = jnp.concatenate([
-        jnp.arange(1, r + 1, dtype=jnp.float32) / r,
-        jnp.arange(r, 0, -1, dtype=jnp.float32)[1:] / r,
-    ]) if r > 1 else jnp.array([0.5, 1.0, 0.5])
-    k = k / jnp.max(k)
-    x = jnp.moveaxis(planes, -1, 0)  # (C, H, W)
-    rr = (k.shape[0] - 1) // 2
-    xp = jnp.pad(x, ((0, 0), (rr, rr), (0, 0)))
-    x = jax.lax.conv_general_dilated(
-        xp[:, None], k.reshape(1, 1, -1, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
-    xp = jnp.pad(x, ((0, 0), (0, 0), (rr, rr)))
-    x = jax.lax.conv_general_dilated(
-        xp[:, None], k.reshape(1, 1, 1, -1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
-    return jnp.moveaxis(x, 0, -1)
+    keypoint sample.
+
+    A triangle of half-width m (peak 1) is box_m * box_m / m, so each axis is
+    two cumsum box passes with mirrored offsets (exact centering for any m)."""
+    m = max(2, int(radius))
+    a1, a2 = (m - 1) // 2, m - 1 - (m - 1) // 2
+    # zero-pad by m so the second box sees the first box's virtual
+    # out-of-range outputs (box∘box == triangle only on the padded signal)
+    x = jnp.pad(planes, ((m, m), (m, m), (0, 0)))
+    for axis in (0, 1):  # H then W of (H, W, C)
+        x = _box1d(_box1d(x, m, a1, axis), m, a2, axis)
+    return x[m:-m, m:-m] * (1.0 / (m * m))
 
 
 def _take_planes(P, li, sx, sy):
@@ -508,8 +523,13 @@ def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig
         Po = jnp.stack(Po_list)
         li0 = layer_idx - 1
         a1, a2, second = _orientations_fast(Po, li0, fx, fy, sigma_oct, cfg)
-        d1 = _descriptors_fast(Pd, li0, fx, fy, sigma_oct, a1, cfg)
-        d2 = _descriptors_fast(Pd, li0, fx, fy, sigma_oct, a2, cfg)
+        # both orientations in ONE descriptor pass (halves the gather ops)
+        two = lambda v: jnp.concatenate([v, v])
+        d12 = _descriptors_fast(
+            Pd, two(li0), two(fx), two(fy), two(sigma_oct),
+            jnp.concatenate([a1, a2]), cfg,
+        )
+        d1, d2 = d12[: a1.shape[0]], d12[a1.shape[0]:]
     else:
         a1, a2, second = jax.vmap(
             lambda li_, xx, yy, ss_: _orientation(dx_maps, dy_maps, li_, xx, yy, ss_, cfg)
@@ -536,10 +556,11 @@ def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _prepare_base(img, cfg: SiftConfig):
+    """Base image for octave 0; accepts (H, W) or a (B, H, W) batch."""
     img = jnp.asarray(img, jnp.float32)
-    h, w = img.shape
+    h, w = img.shape[-2:]
     if cfg.upsample:
-        base = jax.image.resize(img, (h * 2, w * 2), "linear")
+        base = jax.image.resize(img, img.shape[:-2] + (h * 2, w * 2), "linear")
         init_blur = 1.0  # assumed 0.5 blur, doubled by upsampling
     else:
         base = img
@@ -569,28 +590,39 @@ def _octave_detect(base_o, octave_scale: float, k_oct: int, cfg: SiftConfig):
     Per-octave programs keep XLA compile tractable (an 8-octave mega-program
     took >10x the summed compile time) and — because octaves are mutually
     independent — the runtime can execute them concurrently, which hides
-    per-dispatch latency (critical on the tunneled TPU backend)."""
-    gauss, dog = ss.build_octave(base_o, cfg.sigma, cfg.n_octave_layers)
-    return _process_octave(gauss, dog, octave_scale, k_oct, cfg)
+    per-dispatch latency (critical on the tunneled TPU backend).
+
+    Accepts (H, W) or a (B, H, W) batch (vmapped: batching amortizes the
+    many small latency-bound ops across images)."""
+
+    def one(b):
+        gauss, dog = ss.build_octave(b, cfg.sigma, cfg.n_octave_layers)
+        return _process_octave(gauss, dog, octave_scale, k_oct, cfg)
+
+    if base_o.ndim == 2:
+        return one(base_o)
+    return jax.vmap(one)(base_o)
 
 
 def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
-    """SIFT keypoints + descriptors for a grayscale image (H, W) in [0, 1].
+    """SIFT keypoints + descriptors for grayscale image(s) in [0, 1].
 
-    Equivalent of SIFTDetectAndCompute
+    Accepts (H, W) for one image or (B, H, W) for a batch (all outputs gain
+    a leading B axis). Equivalent of SIFTDetectAndCompute
     (/root/reference/SfM-GMS/SfM-GMS/FeatureMatchUtil.cpp:9-12).
     Structured as a shallow program DAG: bases -> independent octaves ->
     merge, so multiple images pipeline through the device back-to-back."""
     base = _prepare_base(img, cfg)
     base_scale = 0.5 if cfg.upsample else 1.0
 
-    n_oct = ss.num_octaves(base.shape[0], base.shape[1], cfg.max_octaves)
-    n_oct = min(n_oct, 1 + max(0, int(math.log2(min(base.shape) / (4 * _BORDER)))))
+    h, w = base.shape[-2:]
+    n_oct = ss.num_octaves(h, w, cfg.max_octaves)
+    n_oct = min(n_oct, 1 + max(0, int(math.log2(min(h, w) / (4 * _BORDER)))))
 
     bases = _octave_bases(base, n_oct, cfg)
     outs = []
     for o, base_o in enumerate(bases):
-        if min(base_o.shape) < 4 * _BORDER:
+        if min(base_o.shape[-2:]) < 4 * _BORDER:
             break
         # candidate budget shrinks with octave area: higher octaves have
         # ~4x fewer pixels, so a uniform budget would waste gather bandwidth
@@ -602,22 +634,30 @@ def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _merge_octaves(outs, k: int) -> Features:
-    xy = jnp.concatenate([o[0] for o in outs])
-    sig = jnp.concatenate([o[1] for o in outs])
-    ang = jnp.concatenate([o[2] for o in outs])
-    resp = jnp.concatenate([o[3] for o in outs])
-    desc = jnp.concatenate([o[4] for o in outs])
-    mask = jnp.concatenate([o[5] for o in outs])
+    def merge(*outs):
+        xy = jnp.concatenate([o[0] for o in outs])
+        sig = jnp.concatenate([o[1] for o in outs])
+        ang = jnp.concatenate([o[2] for o in outs])
+        resp = jnp.concatenate([o[3] for o in outs])
+        desc = jnp.concatenate([o[4] for o in outs])
+        mask = jnp.concatenate([o[5] for o in outs])
 
-    score = jnp.where(mask, resp, -1.0)
-    _, sel = jax.lax.top_k(score, k)
-    sel_mask = jnp.take(mask, sel) & (jnp.take(score, sel) > 0)
+        score = jnp.where(mask, resp, -1.0)
+        _, sel = jax.lax.top_k(score, k)
+        sel_mask = jnp.take(mask, sel) & (jnp.take(score, sel) > 0)
 
-    kpts = Keypoints(
-        xy=jnp.where(sel_mask[:, None], jnp.take(xy, sel, axis=0), 0.0),
-        scale=jnp.where(sel_mask, jnp.take(sig, sel), 0.0),
-        angle=jnp.where(sel_mask, jnp.take(ang, sel), 0.0),
-        response=jnp.where(sel_mask, jnp.take(resp, sel), 0.0),
-        mask=sel_mask,
-    )
-    return Features(kpts=kpts, desc=jnp.where(sel_mask[:, None], jnp.take(desc, sel, axis=0), 0.0))
+        kpts = Keypoints(
+            xy=jnp.where(sel_mask[:, None], jnp.take(xy, sel, axis=0), 0.0),
+            scale=jnp.where(sel_mask, jnp.take(sig, sel), 0.0),
+            angle=jnp.where(sel_mask, jnp.take(ang, sel), 0.0),
+            response=jnp.where(sel_mask, jnp.take(resp, sel), 0.0),
+            mask=sel_mask,
+        )
+        return Features(
+            kpts=kpts,
+            desc=jnp.where(sel_mask[:, None], jnp.take(desc, sel, axis=0), 0.0),
+        )
+
+    if outs[0][0].ndim == 3:  # batched: (B, 2K_oct, ...) per octave
+        return jax.vmap(merge)(*outs)
+    return merge(*outs)

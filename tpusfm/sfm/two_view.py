@@ -119,3 +119,29 @@ def two_view_sfm(
     independently (tpusfm.dist)."""
     matches = match_features(feat1, feat2, algo, size1, size2, cfg)
     return _geometry_chain(matches, feat1, feat2, intr, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def two_view_batch(
+    feats1: Features,
+    feats2: Features,
+    intr: CameraIntrinsics,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> TwoViewResult:
+    """BF match + geometry for a BATCH of pairs in one program.
+
+    feats1/feats2 carry a leading batch axis (from batched
+    sift_detect_and_compute). The reference processes pairs serially
+    (/root/reference/SfM-GMS/SfM-GMS/DisparityUtil.cpp:444-460); on TPU a
+    vmapped batch turns the pipeline's many small latency-bound ops (RANSAC
+    solves, refinement gathers) into wide ones, which is where the
+    throughput comes from."""
+
+    def one(f1: Features, f2: Features) -> TwoViewResult:
+        m = bf_match.__wrapped__(
+            f1.desc, f2.desc, f1.kpts.mask, f2.kpts.mask,
+            cfg.match, "l2", True, None,
+        )
+        return _geometry_chain.__wrapped__(m, f1, f2, intr, cfg)
+
+    return jax.vmap(one)(feats1, feats2)
