@@ -56,6 +56,44 @@ def test_ring_nn_matches_plain():
     np.testing.assert_allclose(np.asarray(second), np.asarray(rsecond), rtol=1e-4, atol=1e-4)
 
 
+def test_pipeline_parallel_two_view():
+    """GPipe-style staged two-view pipeline (dist/pipeline.py) produces the
+    serial chain's results for every micro-batch, at 2-stage and 4-stage
+    splits. Counts may differ by a borderline RANSAC inlier (different op
+    fusion inside scan/switch shifts f32 rounding)."""
+    import jax.tree_util as jtu
+
+    from tpusfm.config import MatchConfig, PipelineConfig, RansacConfig, SiftConfig
+    from tpusfm.io import imread_gray
+    from tpusfm.io.dataset import source_image
+    from tpusfm.sfm.pipelined import two_view_pipelined, two_view_stages
+    from tpusfm.types import CameraIntrinsics
+
+    g1 = np.asarray(jax.image.resize(
+        jnp.array(imread_gray(source_image("PikaBun1.jpg"))), (126, 168), "linear"))
+    g2 = np.asarray(jax.image.resize(
+        jnp.array(imread_gray(source_image("PikaBun4.jpg"))), (126, 168), "linear"))
+    cfg = PipelineConfig(sift=SiftConfig(max_features=256),
+                         match=MatchConfig(max_matches=128),
+                         ransac=RansacConfig(n_hypotheses=64))
+    intr = CameraIntrinsics.ideal(0.838 * 168, 0.838 * 168, 84, 63)
+    M = 3
+    pairs = jnp.asarray(np.stack([np.stack([g1 + i * 1e-4, g2]) for i in range(M)]))
+
+    stages = two_view_stages(intr, cfg, 2)
+    refs = [stages[1](stages[0](jtu.tree_map(lambda a: a[i], pairs))) for i in range(M)]
+
+    for S in (2, 4):
+        r = two_view_pipelined(pairs, intr, make_mesh(S), cfg)
+        for i, ref in enumerate(refs):
+            assert int(r.n_matches[i]) == int(ref.n_matches), (S, i)
+            assert abs(int(r.n_inliers[i]) - int(ref.n_inliers)) <= 2, (S, i)
+            # R agrees to a small rotation (borderline-inlier refit jitter)
+            dR = np.asarray(r.R[i]) @ np.asarray(ref.R).T
+            ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+            assert ang < 5.0, (S, i, ang)
+
+
 def test_parallel_pair_match():
     rng = np.random.default_rng(2)
     B, N, D = 8, 32, 16

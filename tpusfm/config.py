@@ -116,6 +116,7 @@ class StereoBMConfig:
     speckle_window_size: int = 0
     speckle_range: int = 8
     disp12_max_diff: int = 1
+    subpixel: bool = True  # quadratic SAD-minimum interpolation (OpenCV default)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -412,7 +412,7 @@ def _take_planes(P, li, sx, sy):
     xi = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, h - 1)
     flat = (li[:, None] * h + yi) * w + xi
-    return jnp.take(P.reshape(L * h * w, C), flat, axis=0)
+    return jnp.take(P.reshape(L * h * w, C), flat, axis=0).astype(jnp.float32)
 
 
 def _orientations_fast(Po, li, x, y, sigma, cfg: SiftConfig):
@@ -512,15 +512,25 @@ def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig
 
     if cfg.fast_descriptor:
         # dense oriented-gradient planes per layer, pooled once: descriptors
-        # and orientations become a handful of vector gathers per keypoint
+        # and orientations become a handful of vector gathers per keypoint.
+        # Pooled stacks are bf16 — they are the octave's dominant HBM tensor
+        # (n_layers x H x W x 8) and descriptor quantization noise is far
+        # below the clip/normalize tolerances; with the default
+        # descriptor_scale_factor == 3.0 the orientation and descriptor pools
+        # share one radius, so one pooled stack serves both.
         Po_list, Pd_list = [], []
         for l in range(1, n_layers + 1):
             sigma_l = cfg.sigma * 2.0 ** (l / n_layers)
             planes = _oriented_planes(dx_maps[l], dy_maps[l])
-            Pd_list.append(_tri_pool(planes, int(round(cfg.descriptor_scale_factor * sigma_l))))
-            Po_list.append(_tri_pool(planes, int(round(3.0 * sigma_l))))
+            rd = int(round(cfg.descriptor_scale_factor * sigma_l))
+            ro = int(round(3.0 * sigma_l))
+            pool = _tri_pool(planes, rd)
+            Pd_list.append(pool)
+            # orientation stays f32: bf16 angle noise rotates the whole
+            # descriptor and breaks rotation invariance (regression-tested)
+            Po_list.append(pool if ro == rd else _tri_pool(planes, ro))
         Pd = jnp.stack(Pd_list)  # (n_layers, H, W, 8)
-        Po = jnp.stack(Po_list)
+        Po = jnp.stack(Po_list)  # f32
         li0 = layer_idx - 1
         a1, a2, second = _orientations_fast(Po, li0, fx, fy, sigma_oct, cfg)
         # both orientations in ONE descriptor pass (halves the gather ops)

@@ -33,7 +33,10 @@ def _eight_point(x1, x2, w=None):
     A = (h2[:, :, None] * h1[:, None, :]).reshape(-1, 9)
     if w is not None:
         A = A * w[:, None]
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    # Economy SVD: only the 9 right-singular vectors are needed. (The
+    # previous full_matrices=True call materialized an N x N U factor — on a
+    # 500-match refit that single op dominated the whole RANSAC program.)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
     E = vt[-1].reshape(3, 3)
     u, s, vt2 = jnp.linalg.svd(E)
     sm = (s[0] + s[1]) * 0.5

@@ -40,9 +40,12 @@ def _block_l2(q, db):
 
 
 def _block_hamming(q, db):
-    """Hamming distance block on packed uint32 words -> float32 (TQ, TD)."""
+    """Hamming distance block on packed uint32 words -> float32 (TQ, TD).
+
+    popcount yields uint32; Mosaic cannot reduce unsigned ints, so cast to
+    int32 (values <= 32 per word) before summing."""
     x = jax.lax.population_count(q[:, None, :] ^ db[None, :, :])
-    return jnp.sum(x, axis=-1).astype(jnp.float32)
+    return jnp.sum(x.astype(jnp.int32), axis=-1).astype(jnp.float32)
 
 
 def _merge_top2(best, second, best_idx, bmin, bmin2, bidx):

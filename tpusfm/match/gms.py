@@ -72,8 +72,14 @@ def _neighbors(rows, cols):
     return jnp.stack(out, axis=1).astype(jnp.int32)
 
 
-def _run_config(xy1, xy2, mmask, size1, size2, cfg, rows2, cols2, rot_perm):
-    """Inlier mask for one (scale, rotation) configuration, OR over 4 offsets."""
+def _scale_pass(xy1, xy2, mmask, size1, size2, cfg, rows2, cols2, rot_perms):
+    """Inlier masks for every rotation pattern at one grid scale.
+
+    rot_perms: (R, 9). Returns (R, N) bool — per rotation, the OR over the
+    4 half-cell grid offsets. Offsets and rotations are vmapped axes, not
+    unrolled traces: the original 8 rot x 5 scale x 4 offset unroll produced
+    160 scatter-add bodies in one program and compile times in the tens of
+    minutes."""
     w1, h1 = size1
     w2, h2 = size2
     rows1, cols1 = cfg.grid_rows, cfg.grid_cols
@@ -81,42 +87,48 @@ def _run_config(xy1, xy2, mmask, size1, size2, cfg, rows2, cols2, rot_perm):
     c2 = rows2 * cols2
     nb1 = _neighbors(rows1, cols1)               # (c1, 9)
     nb2 = _neighbors(rows2, cols2)               # (c2, 9)
-    nb2r = nb2[:, rot_perm]                       # (c2, 9): slot k -> rotated neighbor
 
-    inlier = jnp.zeros(xy1.shape[0], bool)
-    for off_x, off_y in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        cell1 = _cell_index(xy1, w1, h1, rows1, cols1, off_x, off_y)
-        cell2 = _cell_index(xy2, w2, h2, rows2, cols2, off_x, off_y)
+    def per_offset(off):
+        cell1 = _cell_index(xy1, w1, h1, rows1, cols1, off[0], off[1])
+        cell2 = _cell_index(xy2, w2, h2, rows2, cols2, off[0], off[1])
         ok = mmask & (cell1 >= 0) & (cell2 >= 0)
         flat = jnp.where(ok, cell1 * c2 + cell2, c1 * c2)
         votes = jnp.zeros((c1 * c2 + 1,), jnp.float32).at[flat].add(1.0)
         votes = votes[:-1].reshape(c1, c2)
 
         npts1 = jnp.zeros((c1 + 1,), jnp.float32).at[jnp.where(ok, cell1, c1)].add(1.0)[:-1]
-
         best_j = jnp.argmax(votes, axis=1)        # (c1,)
 
-        # score_i = sum_k votes[nb1[i,k], nb2r[best_j[i], k]]
-        nb_l = nb1                                 # (c1, 9)
+        # threshold depends only on the left grid occupancy (not rotation)
+        nb_np = jnp.where(nb1 >= 0, npts1[jnp.maximum(nb1, 0)], 0.0)
+        n_valid = jnp.maximum(jnp.sum((nb1 >= 0).astype(jnp.float32), axis=1), 1.0)
+        thresh = cfg.threshold_factor * jnp.sqrt(jnp.sum(nb_np, axis=1) / n_valid)
+        return votes, npts1, best_j, thresh, ok, cell1, cell2
+
+    offs = jnp.array([(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)], jnp.float32)
+    votes, npts1, best_j, thresh, ok, cell1, cell2 = jax.vmap(per_offset)(offs)
+
+    def score_one(rot_perm, votes, npts1, best_j, thresh, ok, cell1, cell2):
+        nb2r = nb2[:, rot_perm]                    # (c2, 9)
         nb_r = nb2r[best_j]                        # (c1, 9)
-        valid_nb = (nb_l >= 0) & (nb_r >= 0)
-        vi = jnp.where(valid_nb, nb_l, 0)
+        valid_nb = (nb1 >= 0) & (nb_r >= 0)
+        vi = jnp.where(valid_nb, nb1, 0)
         vj = jnp.where(valid_nb, nb_r, 0)
         score = jnp.sum(jnp.where(valid_nb, votes[vi, vj], 0.0), axis=1)
 
-        nb_np = jnp.where(nb_l >= 0, npts1[jnp.maximum(nb_l, 0)], 0.0)
-        n_valid = jnp.maximum(jnp.sum((nb_l >= 0).astype(jnp.float32), axis=1), 1.0)
-        thresh = cfg.threshold_factor * jnp.sqrt(jnp.sum(nb_np, axis=1) / n_valid)
-
-        cell_ok = score > thresh                   # (c1,)
-        pair_ok = cell_ok & (npts1 > 0)
-        m_in = (
+        cell_ok = (score > thresh) & (npts1 > 0)   # (c1,)
+        return (
             ok
-            & jnp.take(pair_ok, jnp.maximum(cell1, 0))
+            & jnp.take(cell_ok, jnp.maximum(cell1, 0))
             & (cell2 == jnp.take(best_j, jnp.maximum(cell1, 0)))
         )
-        inlier = inlier | m_in
-    return inlier
+
+    per_rot = jax.vmap(                            # over rotations
+        lambda perm: jax.vmap(score_one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+            perm, votes, npts1, best_j, thresh, ok, cell1, cell2
+        )
+    )(rot_perms)                                   # (R, 4, N)
+    return jnp.any(per_rot, axis=1)                # (R, N)
 
 
 @functools.partial(jax.jit, static_argnames=("size1", "size2", "cfg"))
@@ -133,22 +145,23 @@ def gms_filter(
     mmask = matches.mask
 
     rot_perms = _rotation_perms()
-    rotations = range(8) if cfg.with_rotation else [0]
+    if not cfg.with_rotation:
+        rot_perms = rot_perms[:1]
     scales = _SCALE_RATIOS if cfg.with_scale else [1.0]
 
-    best_inlier = jnp.zeros(mmask.shape[0], bool)
-    best_count = jnp.int32(-1)
-    for s in scales:
-        rows2 = max(1, int(round(cfg.grid_rows * s)))
-        cols2 = max(1, int(round(cfg.grid_cols * s)))
-        for r in rotations:
-            inl = _run_config(
-                xy1, xy2, mmask, size1, size2, cfg, rows2, cols2, rot_perms[r]
-            )
-            cnt = jnp.sum(inl.astype(jnp.int32))
-            take = cnt > best_count
-            best_inlier = jnp.where(take, inl, best_inlier)
-            best_count = jnp.where(take, cnt, best_count)
+    # scales change the right-grid static shape -> small unrolled loop;
+    # rotations and offsets are vmapped inside (_scale_pass).
+    inls = jnp.concatenate([
+        _scale_pass(
+            xy1, xy2, mmask, size1, size2, cfg,
+            max(1, int(round(cfg.grid_rows * s))),
+            max(1, int(round(cfg.grid_cols * s))),
+            rot_perms,
+        )
+        for s in scales
+    ])                                             # (S*R, N)
+    counts = jnp.sum(inls.astype(jnp.int32), axis=1)
+    best_inlier = inls[jnp.argmax(counts)]
 
     return Matches(
         idx1=matches.idx1,

@@ -50,7 +50,7 @@ def stereo_bm(left, right, cfg: StereoBMConfig = StereoBMConfig()):
     disps = jnp.arange(cfg.min_disparity, cfg.min_disparity + cfg.num_disparities)
 
     def body(carry, d):
-        bestL, best2L, argL, bestR, argR = carry
+        bestL, best2L, argL, bestR, argR, cm1, cp1, prev = carry
         # right image shifted so column x aligns with right column x - d
         rs = jnp.roll(rp, d, axis=1)
         cost = box_filter(jnp.abs(lp - rs), r)
@@ -62,13 +62,18 @@ def stereo_bm(left, right, cfg: StereoBMConfig = StereoBMConfig()):
         best2L = jnp.where(better, bestL, jnp.minimum(best2L, cost))
         bestL = jnp.where(better, cost, bestL)
         argL = jnp.where(better, d, argL)
+        # neighbors of the winning disparity (for subpixel interpolation):
+        # cost at d-1 is last iteration's cost; cost at d+1 arrives next
+        # iteration when d == argL + 1
+        cm1 = jnp.where(better, prev, cm1)
+        cp1 = jnp.where(d == argL + 1, cost, cp1)
 
         # right-view cost: costR(x, d) = costL(x + d, d)
         costR = jnp.roll(cost, -d, axis=1)
         betterR = costR < bestR
         bestR = jnp.where(betterR, costR, bestR)
         argR = jnp.where(betterR, d, argR)
-        return (bestL, best2L, argL, bestR, argR), None
+        return (bestL, best2L, argL, bestR, argR, cm1, cp1, cost), None
 
     init = (
         jnp.full((h, w), _BIG),
@@ -76,8 +81,11 @@ def stereo_bm(left, right, cfg: StereoBMConfig = StereoBMConfig()):
         jnp.zeros((h, w), jnp.int32),
         jnp.full((h, w), _BIG),
         jnp.zeros((h, w), jnp.int32),
+        jnp.full((h, w), _BIG),
+        jnp.full((h, w), _BIG),
+        jnp.full((h, w), _BIG),
     )
-    (bestL, best2L, argL, bestR, argR), _ = jax.lax.scan(body, init, disps)
+    (bestL, best2L, argL, bestR, argR, cm1, cp1, _), _ = jax.lax.scan(body, init, disps)
 
     valid = bestL < _BIG / 2
     # texture: flat windows are unreliable (reference threshold 507 on 8-bit sums)
@@ -91,7 +99,39 @@ def stereo_bm(left, right, cfg: StereoBMConfig = StereoBMConfig()):
         dR_at = jnp.take_along_axis(argR, xr, axis=1)
         valid &= jnp.abs(argL - dR_at) <= cfg.disp12_max_diff
 
-    return argL.astype(jnp.float32), valid
+    disp = argL.astype(jnp.float32)
+    if cfg.subpixel:
+        # quadratic interpolation of the SAD minimum (OpenCV StereoBM always
+        # refines; its DISP_SCALE=16 fixed point is float here): the vertex
+        # of the parabola through (d-1, cm1), (d, best), (d+1, cp1)
+        nb_ok = (cm1 < _BIG / 2) & (cp1 < _BIG / 2)
+        denom = cm1 - 2.0 * bestL + cp1
+        off = jnp.where(
+            nb_ok & (denom > 1e-9), 0.5 * (cm1 - cp1) / jnp.maximum(denom, 1e-9), 0.0
+        )
+        disp = disp + jnp.clip(off, -0.5, 0.5)
+    return disp, valid
+
+
+def stereo_bm_filtered(left, right, cfg: StereoBMConfig = StereoBMConfig()):
+    """stereo_bm + the speckle post-filter (cv::filterSpeckles equivalent,
+    enabled when cfg.speckle_window_size > 0, matching OpenCV semantics —
+    the reference's configuration sets it to 0, DisparityUtil.cpp:35).
+
+    The speckle filter is a host-side connected-component pass
+    (csrc/ccl.cpp via tpusfm.native); returns numpy (disp, valid)."""
+    import numpy as np
+
+    from tpusfm.native import filter_speckles
+
+    disp, valid = stereo_bm(left, right, cfg)
+    disp = np.asarray(disp)
+    valid = np.asarray(valid)
+    if cfg.speckle_window_size > 0:
+        disp, valid = filter_speckles(
+            disp, valid, float(cfg.speckle_range), int(cfg.speckle_window_size)
+        )
+    return disp, valid
 
 
 def normalize_disparity(disp, valid):
