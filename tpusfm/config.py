@@ -93,7 +93,11 @@ class RansacConfig:
     prob=0.7, threshold=1.0px (/root/reference/SfM-GMS/SfM-GMS/SfMUtil.cpp:39).
     TPU-native: a fixed batch of hypotheses evaluated in parallel."""
 
-    n_hypotheses: int = 512
+    # 128 five-point samples -> up to 1280 essential candidates, ~9x the
+    # count an adaptive RANSAC needs at prob 0.999 / 50% inliers; the whole
+    # batch is scored in parallel so the margin is cheap, but not free —
+    # 512 hypotheses put the vmapped batch-of-pairs path over a memory cliff.
+    n_hypotheses: int = 128
     sample_size: int = 8           # minimal-sample size for the 8-point path
     threshold_px: float = 1.0
     seed: int = 0

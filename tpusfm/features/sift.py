@@ -401,31 +401,38 @@ def _tri_pool(planes, radius: int):
     return x[m:-m, m:-m] * (1.0 / (m * m))
 
 
-def _take_planes(P, li, sx, sy):
-    """One batched nearest-neighbor gather from (L, H, W, C) planes.
+def _take2d(P, sx, sy):
+    """Nearest-neighbor gather from ONE layer's planes (H, W, C).
 
-    li: (K,) layer ids; sx, sy: (K, S) float sample coords.
-    Returns (K, S, C). A single jnp.take on the flattened plane stack — one
-    gather HLO regardless of K and S (the vmapped fancy-indexing variant
-    compiled ~70s/octave on Mosaic)."""
-    L, h, w, C = P.shape
+    sx, sy: (K, S) float coords -> (K, S, C). Used by the layer-streamed
+    fast path: gathering per layer lets XLA free each layer's pooled planes
+    immediately, so peak HBM is one (B, H, W, 8) tensor instead of the full
+    (B, L, H, W, 8) stack (the stack put batched octave 0 over the HBM
+    cliff: cumsum pooling holds log-N intermediates of its operand)."""
+    h, w, C = P.shape
     xi = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, h - 1)
-    flat = (li[:, None] * h + yi) * w + xi
-    return jnp.take(P.reshape(L * h * w, C), flat, axis=0).astype(jnp.float32)
+    return jnp.take(P.reshape(h * w, C), yi * w + xi, axis=0).astype(jnp.float32)
 
 
-def _orientations_fast(Po, li, x, y, sigma, cfg: SiftConfig):
-    """Batch orientation from wide-pooled planes: (K,) -> (a1, a2, second)."""
-    n = _N_PLANES
-    g = jnp.array([-1.0, 0.0, 1.0])
-    gu, gv = jnp.meshgrid(g, g)
-    gu = gu.reshape(-1)
-    gv = gv.reshape(-1)
+_ORI_TAPS = np.array([(u, v) for v in (-1.0, 0.0, 1.0) for u in (-1.0, 0.0, 1.0)],
+                     np.float32)
+_ORI_W = np.exp(-(_ORI_TAPS[:, 0] ** 2 + _ORI_TAPS[:, 1] ** 2) / 2.0).astype(np.float32)
+
+
+def _ori_offsets(x, y, sigma):
+    """Orientation sample coords: (K,) -> (sx, sy) each (K, 9)."""
     r = (1.5 * sigma)[:, None]
-    S = _take_planes(Po, li, x[:, None] + gu[None] * r, y[:, None] + gv[None] * r)
-    wgt = jnp.exp(-(gu**2 + gv**2) / 2.0)
-    hist = jnp.sum(S * wgt[None, :, None], axis=1)          # (K, 8)
+    return (
+        x[:, None] + jnp.asarray(_ORI_TAPS[:, 0])[None] * r,
+        y[:, None] + jnp.asarray(_ORI_TAPS[:, 1])[None] * r,
+    )
+
+
+def _orientations_from_samples(S, cfg: SiftConfig):
+    """Angles from gathered orientation samples S (K, 9, 8)."""
+    n = _N_PLANES
+    hist = jnp.sum(S * jnp.asarray(_ORI_W)[None, :, None], axis=1)  # (K, 8)
     hist = jnp.roll(hist, 1, 1) * 0.25 + hist * 0.5 + jnp.roll(hist, -1, 1) * 0.25
 
     def interp(b):
@@ -451,19 +458,24 @@ _CELLS = np.array([(u, v) for v in (-1.5, -0.5, 0.5, 1.5) for u in (-1.5, -0.5, 
 _CELL_W = np.exp(-(_CELLS[:, 0] ** 2 + _CELLS[:, 1] ** 2) / 8.0).astype(np.float32)
 
 
-def _descriptors_fast(Pd, li, x, y, sigma, angle, cfg: SiftConfig):
-    """Batch descriptors from cell-pooled planes: 16 rotated cell-center
-    samples per keypoint, orientation bins circularly shifted by the
-    keypoint angle. (K,) inputs -> (K, 128)."""
-    n = _N_PLANES
+def _desc_offsets(x, y, sigma, angle, cfg: SiftConfig):
+    """Rotated 4x4 cell-center sample coords: (K,) -> (sx, sy) each (K, 16)."""
     cell = (cfg.descriptor_scale_factor * sigma)[:, None]
     ca = jnp.cos(angle)[:, None]
     sa = jnp.sin(angle)[:, None]
     cu = jnp.asarray(_CELLS[:, 0])[None]
     cv = jnp.asarray(_CELLS[:, 1])[None]
-    ox = (cu * ca - cv * sa) * cell
-    oy = (cu * sa + cv * ca) * cell
-    S = _take_planes(Pd, li, x[:, None] + ox, y[:, None] + oy)  # (K, 16, 8)
+    return (
+        x[:, None] + (cu * ca - cv * sa) * cell,
+        y[:, None] + (cu * sa + cv * ca) * cell,
+    )
+
+
+def _descriptors_from_samples(S, angle, cfg: SiftConfig):
+    """Descriptors from gathered cell samples S (K, 16, 8): orientation bins
+    circularly shifted by the keypoint angle, Gaussian cell window,
+    normalize -> clip -> renormalize. -> (K, 128)."""
+    n = _N_PLANES
     # rotate orientation bins: descriptor bin k = absolute bin (k + shift)
     shift = angle / (2 * jnp.pi) * n
     s0 = jnp.floor(shift).astype(jnp.int32)
@@ -511,34 +523,39 @@ def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig
     layer_idx = jnp.clip(jnp.round(fl).astype(jnp.int32), 1, n_layers)
 
     if cfg.fast_descriptor:
-        # dense oriented-gradient planes per layer, pooled once: descriptors
+        # Dense oriented-gradient planes per layer, pooled once: descriptors
         # and orientations become a handful of vector gathers per keypoint.
-        # Pooled stacks are bf16 — they are the octave's dominant HBM tensor
-        # (n_layers x H x W x 8) and descriptor quantization noise is far
-        # below the clip/normalize tolerances; with the default
-        # descriptor_scale_factor == 3.0 the orientation and descriptor pools
-        # share one radius, so one pooled stack serves both.
-        Po_list, Pd_list = [], []
+        # The layers are STREAMED — each layer's pooled planes are gathered
+        # for ALL keypoints and masked by layer id, so only one (H, W, 8)
+        # pool is ever live (a stacked (L, H, W, 8) pool put batched octave 0
+        # over the HBM cliff). Pooling is O(N) cumsum work, cheap enough to
+        # run twice (orientation pass, then descriptor pass after angles are
+        # known). With the default descriptor_scale_factor == 3.0 both
+        # passes share one pooling radius per layer.
+        li0 = layer_idx - 1
+        radii = []
         for l in range(1, n_layers + 1):
             sigma_l = cfg.sigma * 2.0 ** (l / n_layers)
-            planes = _oriented_planes(dx_maps[l], dy_maps[l])
-            rd = int(round(cfg.descriptor_scale_factor * sigma_l))
-            ro = int(round(3.0 * sigma_l))
-            pool = _tri_pool(planes, rd)
-            Pd_list.append(pool)
-            # orientation stays f32: bf16 angle noise rotates the whole
-            # descriptor and breaks rotation invariance (regression-tested)
-            Po_list.append(pool if ro == rd else _tri_pool(planes, ro))
-        Pd = jnp.stack(Pd_list)  # (n_layers, H, W, 8)
-        Po = jnp.stack(Po_list)  # f32
-        li0 = layer_idx - 1
-        a1, a2, second = _orientations_fast(Po, li0, fx, fy, sigma_oct, cfg)
+            radii.append((int(round(3.0 * sigma_l)),
+                          int(round(cfg.descriptor_scale_factor * sigma_l))))
+
+        sx_o, sy_o = _ori_offsets(fx, fy, sigma_oct)
+        S_o = jnp.zeros((fx.shape[0], sx_o.shape[1], _N_PLANES), jnp.float32)
+        for l in range(n_layers):
+            P = _tri_pool(_oriented_planes(dx_maps[l + 1], dy_maps[l + 1]), radii[l][0])
+            S_o = jnp.where((li0 == l)[:, None, None], _take2d(P, sx_o, sy_o), S_o)
+        a1, a2, second = _orientations_from_samples(S_o, cfg)
+
         # both orientations in ONE descriptor pass (halves the gather ops)
         two = lambda v: jnp.concatenate([v, v])
-        d12 = _descriptors_fast(
-            Pd, two(li0), two(fx), two(fy), two(sigma_oct),
-            jnp.concatenate([a1, a2]), cfg,
-        )
+        ang12 = jnp.concatenate([a1, a2])
+        sx_d, sy_d = _desc_offsets(two(fx), two(fy), two(sigma_oct), ang12, cfg)
+        S_d = jnp.zeros((2 * fx.shape[0], sx_d.shape[1], _N_PLANES), jnp.float32)
+        li2 = two(li0)
+        for l in range(n_layers):
+            P = _tri_pool(_oriented_planes(dx_maps[l + 1], dy_maps[l + 1]), radii[l][1])
+            S_d = jnp.where((li2 == l)[:, None, None], _take2d(P, sx_d, sy_d), S_d)
+        d12 = _descriptors_from_samples(S_d, ang12, cfg)
         d1, d2 = d12[: a1.shape[0]], d12[a1.shape[0]:]
     else:
         a1, a2, second = jax.vmap(

@@ -60,8 +60,14 @@ def bf_match(
     capacity = min(capacity, n1)
 
     if prune:
+        # Floor the reference's relative threshold (keep d <= 4 * d_min,
+        # FeatureMatchUtil.cpp:24-30): when d_min is exactly 0 (bit-identical
+        # descriptors on synthetic/repeating texture) a pure relative rule
+        # degenerates to keeping only the zero-distance matches.
+        # 0.05 is far below any informative unit-descriptor distance, so the
+        # floor only activates in the degenerate regime.
         min_d = jnp.min(dist)
-        keep = valid & (dist <= cfg.distance_coef * jnp.maximum(min_d, 0.0))
+        keep = valid & (dist <= jnp.maximum(cfg.distance_coef * min_d, 0.05))
         dist = jnp.where(keep, dist, BIG)
         valid = keep
 
