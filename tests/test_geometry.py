@@ -159,3 +159,22 @@ def test_essential_ransac_planar_scene():
     Rr, tr = np.asarray(Rr), np.asarray(tr)
     assert abs(np.dot(tr, t)) > 0.99, (tr, t)
     assert np.abs(Rr - R).max() < 0.02
+
+
+def test_eight_point_minimal_null_vector():
+    """The minimal 8-row system must return the true null vector (an economy
+    SVD of an 8x9 A spans only the row space and silently returns a
+    non-null row — ADVICE round 2). Noiseless sample -> Sampson ~ 0."""
+    from tpusfm.geometry.epipolar import _eight_point
+
+    X, R, t, x1, x2, _ = _synthetic_two_view(n=8, outliers=0, seed=3, noise=0.0)
+    E = _eight_point(jnp.array(x1), jnp.array(x2))
+    err = np.asarray(sampson_error(E, jnp.array(x1), jnp.array(x2)))
+    assert err.max() < 1e-10, err
+
+    # and the weighted >= 9-row path stays exact too
+    X, R, t, x1, x2, _ = _synthetic_two_view(n=50, outliers=0, seed=4, noise=0.0)
+    w = jnp.ones((50,), jnp.float32)
+    E = _eight_point(jnp.array(x1), jnp.array(x2), w)
+    err = np.asarray(sampson_error(E, jnp.array(x1), jnp.array(x2)))
+    assert err.max() < 1e-10, err

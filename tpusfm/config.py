@@ -93,10 +93,11 @@ class RansacConfig:
     prob=0.7, threshold=1.0px (/root/reference/SfM-GMS/SfM-GMS/SfMUtil.cpp:39).
     TPU-native: a fixed batch of hypotheses evaluated in parallel."""
 
-    # 128 five-point samples -> up to 1280 essential candidates, ~9x the
-    # count an adaptive RANSAC needs at prob 0.999 / 50% inliers; the whole
-    # batch is scored in parallel so the margin is cheap, but not free —
-    # 512 hypotheses put the vmapped batch-of-pairs path over a memory cliff.
+    # 128 five-point samples give ~98% confidence at 50% inliers
+    # (1 - (1 - 0.5^5)^128); the reference's prob=0.7 setting needs only ~38
+    # samples, so this is a comfortable margin over it. The whole batch is
+    # scored in parallel so the margin is cheap, but not free — 512
+    # hypotheses put the vmapped batch-of-pairs path over a memory cliff.
     n_hypotheses: int = 128
     sample_size: int = 8           # minimal-sample size for the 8-point path
     threshold_px: float = 1.0

@@ -33,11 +33,20 @@ def _eight_point(x1, x2, w=None):
     A = (h2[:, :, None] * h1[:, None, :]).reshape(-1, 9)
     if w is not None:
         A = A * w[:, None]
-    # Economy SVD: only the 9 right-singular vectors are needed. (The
-    # previous full_matrices=True call materialized an N x N U factor — on a
-    # 500-match refit that single op dominated the whole RANSAC program.)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
-    E = vt[-1].reshape(3, 3)
+    if A.shape[0] >= 9:
+        # Economy SVD: with >= 9 rows vt spans all of R^9, so vt[-1] is the
+        # least-squares null vector, and it avoids the N x N U factor that
+        # made full_matrices=True dominate the 500-row refit. (Not valid for
+        # the minimal 8-row system — economy vt then spans only the row
+        # space.) Better f32 conditioning than the normal equations.
+        _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+        E = vt[-1].reshape(3, 3)
+    else:
+        # Minimal 8-row sample: full SVD so vt covers all of R^9 including
+        # the null vector (8x9 operand — the full factors are tiny here, and
+        # f32 SVD of A is ~4 orders more accurate than eigh of A^T A).
+        _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+        E = vt[-1].reshape(3, 3)
     u, s, vt2 = jnp.linalg.svd(E)
     sm = (s[0] + s[1]) * 0.5
     return u @ jnp.diag(jnp.array([sm, sm, 0.0])) @ vt2

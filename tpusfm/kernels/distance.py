@@ -30,22 +30,50 @@ TILE_DB = 256
 
 
 def _block_l2(q, db):
-    """Squared-L2 distance block: q (TQ, D) f32, db (TD, D) f32 -> (TQ, TD)."""
-    qn = jnp.sum(q * q, axis=1, keepdims=True)
-    dn = jnp.sum(db * db, axis=1, keepdims=True)
+    """Squared-L2 distance block: q (TQ, D), db (TD, D) -> (TQ, TD) f32.
+
+    Accepts f32 or bf16 operands (bf16 feeds the MXU at double rate; the
+    Hamming path uses exact 0/1 bf16 bit vectors)."""
+    qf = q.astype(jnp.float32)
+    dbf = db.astype(jnp.float32)
+    qn = jnp.sum(qf * qf, axis=1, keepdims=True)
+    dn = jnp.sum(dbf * dbf, axis=1, keepdims=True)
     cross = jax.lax.dot_general(
         q, db, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     return jnp.maximum(qn + dn.T - 2.0 * cross, 0.0)
 
 
+def unpack_bits(x):
+    """Packed binary descriptors (N, W) uint32 -> (N, 32*W) bf16 of 0/1 bits.
+
+    Hamming distance between packed descriptors equals squared-L2 between
+    their bit vectors (|a_i - b_i|^2 = a_i XOR b_i for bits), so ORB
+    matching rides the same MXU streaming kernel as SIFT instead of VPU
+    XOR/popcount loops. Exactness: bit values, their squares, and all
+    partial dot products are integers <= 256 = 2^8 — exactly representable
+    in bf16's 8-bit significand, and the MXU accumulates in f32."""
+    x = jnp.asarray(x, jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (x[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(x.shape[0], -1).astype(jnp.bfloat16)
+
+
 def _block_hamming(q, db):
     """Hamming distance block on packed uint32 words -> float32 (TQ, TD).
 
-    popcount yields uint32; Mosaic cannot reduce unsigned ints, so cast to
-    int32 (values <= 32 per word) before summing."""
-    x = jax.lax.population_count(q[:, None, :] ^ db[None, :, :])
-    return jnp.sum(x.astype(jnp.int32), axis=-1).astype(jnp.float32)
+    Accumulated one 32-bit word at a time: the obvious broadcast
+    ``popcount(q[:,None,:] ^ db[None,:,:])`` builds a (TQ, TD, W) rank-3
+    intermediate whose minor dim W=8 is padded to the 128-lane tile by
+    Mosaic — 64 MB of scoped VMEM at 256x256 tiles, an on-chip OOM. The
+    unrolled word loop keeps every intermediate a well-tiled (TQ, TD)
+    block (256 KB). popcount yields uint32; Mosaic cannot reduce unsigned
+    ints, so cast to int32 (values <= 32 per word) before summing."""
+    acc = jnp.zeros((q.shape[0], db.shape[0]), jnp.int32)
+    for w in range(q.shape[1]):
+        x = jax.lax.population_count(q[:, w][:, None] ^ db[:, w][None, :])
+        acc = acc + x.astype(jnp.int32)
+    return acc.astype(jnp.float32)
 
 
 def _merge_top2(best, second, best_idx, bmin, bmin2, bidx):
@@ -109,6 +137,13 @@ def nn_search_pallas(q, db, db_mask, metric: str = "l2"):
     Returns (idx (Nq,) i32, best (Nq,) f32, second (Nq,) f32) —
     best/second are squared-L2 or Hamming distances.
     """
+    if metric == "hamming":
+        # Exact Hamming via the L2 kernel on unpacked bits (see unpack_bits):
+        # MXU matmuls instead of VPU popcounts, and no rank-3 XOR
+        # intermediate (the popcount formulation pads its minor dim W=8 to
+        # the 128-lane tile and OOMs scoped VMEM at 256x256 tiles).
+        q, db = unpack_bits(q), unpack_bits(db)
+        metric = "l2"
     nq, d = q.shape
     ndb = db.shape[0]
     assert nq % TILE_Q == 0 and ndb % TILE_DB == 0, (nq, ndb)

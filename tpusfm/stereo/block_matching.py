@@ -66,6 +66,10 @@ def stereo_bm(left, right, cfg: StereoBMConfig = StereoBMConfig()):
         # cost at d-1 is last iteration's cost; cost at d+1 arrives next
         # iteration when d == argL + 1
         cm1 = jnp.where(better, prev, cm1)
+        # a new minimum invalidates any previously captured right neighbor;
+        # if the scan ends before d == argL + 1 the stale value must not be
+        # used for refinement (OpenCV skips refinement at the range boundary)
+        cp1 = jnp.where(better, _BIG, cp1)
         cp1 = jnp.where(d == argL + 1, cost, cp1)
 
         # right-view cost: costR(x, d) = costL(x + d, d)
