@@ -114,3 +114,77 @@ def test_parallel_pair_match():
         got = idx2[b][valid[b]]
         want = inv[np.arange(N)][valid[b]]
         assert (got == want).mean() > 0.95
+
+
+def _synthetic_sequence_features(n_views=4, n_points=200, seed=5):
+    """Synthetic multi-view Features whose descriptors identify tracks, so
+    the full incremental_sfm product path (match -> tracks -> PnP -> BA)
+    runs without image decoding/SIFT cost."""
+    from tpusfm.geometry.projection import project_points
+    from tpusfm.types import CameraIntrinsics, Features, Keypoints
+
+    rng = np.random.default_rng(seed)
+    intr = CameraIntrinsics.ideal(300.0, 300.0, 160.0, 120.0)
+    X = rng.uniform([-2, -2, 6], [2, 2, 10], size=(n_points, 3)).astype(np.float32)
+    base_desc = rng.normal(size=(n_points, 32)).astype(np.float32) * 5
+    feats, sizes = [], []
+    for v in range(n_views):
+        rv = jnp.asarray(np.array([0.02 * v, 0.1 * v - 0.15, 0.01 * v], np.float32))
+        tv = jnp.asarray(np.array([0.4 * v - 0.8, 0.04 * v, 0.05 * v], np.float32))
+        pix = np.array(project_points(jnp.asarray(X), rv, tv, intr.K, intr.dist))
+        pix += rng.normal(size=pix.shape).astype(np.float32) * 0.2
+        desc = base_desc + rng.normal(size=base_desc.shape).astype(np.float32) * 0.01
+        n = n_points
+        feats.append(Features(
+            kpts=Keypoints(
+                xy=jnp.asarray(pix.astype(np.float32)),
+                scale=jnp.ones(n, jnp.float32),
+                angle=jnp.zeros(n, jnp.float32),
+                response=jnp.ones(n, jnp.float32),
+                mask=jnp.ones(n, bool),
+            ),
+            desc=jnp.asarray(desc),
+        ))
+        sizes.append((320, 240))
+    return feats, sizes, intr
+
+
+def test_incremental_sfm_sharded_ba_matches_single_chip():
+    """The product path (`cli sfm-seq --devices N`): incremental_sfm with a
+    mesh shards every BA solve; the reconstruction must match the
+    single-chip run."""
+    from tpusfm.ba.multiview import incremental_sfm
+    from tpusfm.config import PipelineConfig
+
+    feats, sizes, intr = _synthetic_sequence_features()
+    cfg = PipelineConfig()
+    r1 = incremental_sfm(feats, sizes, intr, cfg, algo="bf")
+    r2 = incremental_sfm(feats, sizes, intr, cfg, algo="bf", mesh=make_mesh())
+    e1 = r1["metrics"]["reproj_error_px"]
+    e2 = r2["metrics"]["reproj_error_px"]
+    assert e1 < 1.0, e1
+    np.testing.assert_allclose(e1, e2, rtol=0.05, atol=0.02)
+    assert r1["metrics"]["n_registered"] == r2["metrics"]["n_registered"]
+    np.testing.assert_allclose(np.asarray(r1["cams"]), np.asarray(r2["cams"]),
+                               atol=5e-2)
+
+
+def test_disparity_dense_ring_matches_single_chip():
+    """The product path (`cli disparity --density dense --devices N`): the
+    ring-sharded dense NN match must reproduce the single-device RMS grid
+    cell."""
+    from tpusfm.io import imread_gray
+    from tpusfm.io.dataset import source_image
+    from tpusfm.stereo.disparity import run_disparity_benchmark
+
+    def tiny(name):
+        g = imread_gray(source_image(name))
+        return jnp.asarray(np.asarray(
+            jax.image.resize(jnp.array(g), (48, 64), "linear")))
+
+    left, right, gt = tiny("left1.png"), tiny("right1.png"), tiny("left_gt1.png")
+    r1 = run_disparity_benchmark(left, right, gt, "sift", "dense", 4.0)
+    r2 = run_disparity_benchmark(left, right, gt, "sift", "dense", 4.0,
+                                 mesh=make_mesh())
+    assert r1["count"] == r2["count"], (r1["count"], r2["count"])
+    np.testing.assert_allclose(r1["rms"], r2["rms"], rtol=1e-4)

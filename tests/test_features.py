@@ -96,3 +96,25 @@ def test_dense_descriptors_shape_and_shift():
     b = np.asarray(d2)[20:40, 26:66]
     cos = (a * b).sum(-1)
     assert np.median(cos) > 0.99
+
+
+def test_dense_orb_descriptors_match_under_shift():
+    """Dense rotated-BRIEF (the reference's orb x dense cell,
+    DisparityUtil.cpp:125-133): descriptors of a 5-px-shifted image must be
+    Hamming-identical at corresponding pixels and ~128/256 at random ones."""
+    from tpusfm.features.orb import dense_orb_descriptors
+
+    rng = np.random.default_rng(0)
+    img = rng.random((60, 80)).astype(np.float32)
+    d1, v1 = dense_orb_descriptors(jnp.array(img))
+    d2, v2 = dense_orb_descriptors(jnp.array(np.roll(img, 5, axis=1)))
+    d1, d2 = np.asarray(d1), np.asarray(d2)
+    assert np.asarray(v1).sum() > 500
+
+    W = 80
+    pop = np.vectorize(lambda x: bin(int(x)).count("1"))
+    for (y, x) in [(30, 30), (25, 40), (35, 20)]:
+        ham = pop(d1[y * W + x] ^ d2[y * W + x + 5]).sum()
+        assert ham == 0, (y, x, ham)
+    ham_rand = pop(d1[30 * W + 30] ^ d2[10 * W + 60]).sum()
+    assert 80 < ham_rand < 180, ham_rand

@@ -26,3 +26,18 @@ Package map (SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Numerics policy: f32-in means f32-math. On TPU the default matmul/conv
+# precision is bfloat16 multiplies; CPU (where the test suite runs) is always
+# f32, so chip-only precision bugs are invisible to tests. Round 2 shipped
+# exactly that: on-chip SIFT fed DoG extrema detection with bf16 conv noise of
+# the same magnitude as the signal, returning garbage keypoints (8 inliers per
+# pair on chip vs 344 on CPU for the identical program). Vision-geometry
+# pipelines are precision-critical end-to-end (DoG contrasts ~1e-3, Sampson
+# residuals ~1e-3 in normalized coords), so the package default is full f32;
+# kernels that *want* reduced precision opt in explicitly with bf16 operands
+# (e.g. the Hamming bit-vector matmul in kernels/distance.py, which is exact
+# in bf16 by construction).
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -40,17 +40,40 @@ def _obs_lookup(obs: Observations, n_tracks: int, n_views: int) -> np.ndarray:
 
 
 def incremental_sfm(features, sizes, intr, cfg: PipelineConfig = PipelineConfig(),
-                    algo: str = "gms", pair_span: int = 2, max_tracks: int = 8192):
+                    algo: str = "gms", pair_span: int = 2, max_tracks: int = 8192,
+                    mesh=None):
     """Reconstruct a sequence.
 
     features: list of Features per view; sizes: list of (w, h); intr:
     CameraIntrinsics. Returns dict with cams (V,6), points (P,3),
     point_valid (P,), obs, reproj_error, and per-stage metrics.
+
+    mesh: optional jax.sharding.Mesh — when given with >1 device, every
+    bundle-adjustment solve shards its observation axis over the mesh via
+    tpusfm.dist.sharded_ba (psum-reduced Schur normal blocks). Semantics are
+    identical to the single-chip solver (equivalence-tested on the virtual
+    CPU mesh, tests/test_dist.py); this generalizes the reference's serial
+    single-thread pipeline (/root/reference/SfM-GMS/SfM-GMS/main.cpp:31-47).
     """
     V = len(features)
     K = intr.K
     dist = intr.dist
     focal = float((K[0, 0] + K[1, 1]) * 0.5)
+
+    if mesh is not None and mesh.devices.size > 1:
+        from tpusfm.dist.sharded_ba import sharded_bundle_adjust
+
+        def run_ba(cams_j, points_j, obs_ba, n_fixed_cams=1):
+            return sharded_bundle_adjust(
+                cams_j, points_j, obs_ba, K, dist, mesh, cfg.ba,
+                n_fixed_cams=n_fixed_cams,
+            )
+    else:
+        def run_ba(cams_j, points_j, obs_ba, n_fixed_cams=1):
+            return bundle_adjust(
+                cams_j, points_j, obs_ba, K, dist, cfg.ba,
+                n_fixed_cams=n_fixed_cams,
+            )
 
     # 1. pairwise matches
     pair_matches = {}
@@ -171,9 +194,7 @@ def incremental_sfm(features, sizes, intr, cfg: PipelineConfig = PipelineConfig(
     # error are data-association failures BA cannot repair — drop their
     # observations and re-solve.
     for ba_round in range(2):
-        cams_j, points_j, costs = bundle_adjust(
-            cams_j, points_j, obs_ba, K, dist, cfg.ba, n_fixed_cams=1,
-        )
+        cams_j, points_j, costs = run_ba(cams_j, points_j, obs_ba, n_fixed_cams=1)
         r = jax.vmap(
             lambda c, p, x: project_points(points_j[p], cams_j[c, :3], cams_j[c, 3:], K, dist) - x
         )(obs_ba.cam, obs_ba.pt, obs_ba.xy)
@@ -189,9 +210,7 @@ def incremental_sfm(features, sizes, intr, cfg: PipelineConfig = PipelineConfig(
         metrics[f"ba_round{ba_round}_dropped"] = int(m.sum() - new_mask.sum())
         obs_ba = Observations(xy=obs_ba.xy, cam=obs_ba.cam, pt=obs_ba.pt,
                               mask=jnp.asarray(new_mask))
-    cams_j, points_j, costs = bundle_adjust(
-        cams_j, points_j, obs_ba, K, dist, cfg.ba, n_fixed_cams=1,
-    )
+    cams_j, points_j, costs = run_ba(cams_j, points_j, obs_ba, n_fixed_cams=1)
     err = float(mean_reprojection_error(cams_j, points_j, obs_ba, K, dist))
     metrics["ba_costs"] = np.asarray(costs)
     metrics["reproj_error_px"] = err

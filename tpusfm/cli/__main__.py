@@ -70,6 +70,25 @@ def _default_intr(w, h):
     return CameraIntrinsics.ideal(0.85 * w, 0.85 * w, w / 2, h / 2)
 
 
+def _make_mesh(n_devices):
+    """Build the CLI's device mesh, or None for the single-device path.
+
+    `--devices N` requires N visible devices: real chips on a pod slice, or
+    virtual ones via XLA_FLAGS=--xla_force_host_platform_device_count=N
+    JAX_PLATFORMS=cpu (the no-hardware validation path, SURVEY.md §4)."""
+    if not n_devices or n_devices <= 1:
+        return None
+    import jax
+    from tpusfm.dist.mesh import make_mesh
+
+    avail = jax.device_count()
+    if avail < n_devices:
+        sys.exit(f"--devices {n_devices} but only {avail} visible "
+                 f"(set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                 f"JAX_PLATFORMS=cpu to simulate)")
+    return make_mesh(n_devices)
+
+
 def cmd_match(args):
     import jax.numpy as jnp
     from tpusfm.config import PipelineConfig, SiftConfig
@@ -199,8 +218,9 @@ def cmd_sfm_seq(args):
         feats.append(sift_detect_and_compute(jnp.array(g), cfg.sift))
         sizes.append((g.shape[1], g.shape[0]))
     intr = _load_intr(args.calib, g0.shape[1], g0.shape[0])
+    mesh = _make_mesh(args.devices)
     rec = incremental_sfm(feats, sizes, intr, cfg, algo=args.algorithm,
-                          pair_span=args.pair_span)
+                          pair_span=args.pair_span, mesh=mesh)
     for k, v in rec["metrics"].items():
         if k != "ba_costs":
             print(f"  {k}: {v}")
@@ -222,6 +242,7 @@ def cmd_disparity(args):
     right = jnp.array(_prep_image(args.right or source_image("right1.png"), args.max_size))
     gt = jnp.array(_prep_image(args.gt or source_image("left_gt1.png"), args.max_size))
     os.makedirs(args.out, exist_ok=True)
+    mesh = _make_mesh(args.devices)
     algs = args.algorithms
     densities = [args.density] if args.density != "both" else ["sparse", "dense"]
     for density in densities:
@@ -229,7 +250,8 @@ def cmd_disparity(args):
             if density == "dense" and alg == "logos":
                 continue  # the reference also skips dense LOGOS (DisparityUtil.cpp:458-460)
             t0 = time.time()
-            r = run_disparity_benchmark(left, right, gt, alg, density, args.ratio)
+            r = run_disparity_benchmark(left, right, gt, alg, density, args.ratio,
+                                        mesh=mesh)
             dt = time.time() - t0
             name = f"disparity_{alg}_{density}_RMS.png"
             d = np.asarray(r["disp"])
@@ -245,15 +267,16 @@ def cmd_stereo(args):
     from tpusfm.config import StereoBMConfig
     from tpusfm.io import imwrite
     from tpusfm.io.dataset import source_image
-    from tpusfm.stereo.block_matching import stereo_bm, normalize_disparity
+    from tpusfm.stereo.block_matching import stereo_bm_filtered, normalize_disparity
 
     left = jnp.array(_prep_image(args.left or source_image("leftRobot.png"), args.max_size))
     right = jnp.array(_prep_image(args.right or source_image("rightRobot.png"), args.max_size))
     cfg = StereoBMConfig(num_disparities=args.num_disparities,
-                         min_disparity=args.min_disparity)
+                         min_disparity=args.min_disparity,
+                         speckle_window_size=args.speckle_window)
     t0 = time.time()
-    disp, valid = stereo_bm(left, right, cfg)
-    vis = normalize_disparity(disp, valid)
+    disp, valid = stereo_bm_filtered(left, right, cfg)
+    vis = normalize_disparity(jnp.asarray(disp), jnp.asarray(valid))
     os.makedirs(args.out, exist_ok=True)
     out = os.path.join(args.out, "stereo_bm.png")
     imwrite(out, np.asarray(vis))
@@ -289,6 +312,17 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    # TPUSFM_PLATFORM=cpu (optionally with
+    # XLA_FLAGS=--xla_force_host_platform_device_count=N) selects the
+    # no-hardware validation backend. An env var alone is not enough in
+    # containers whose sitecustomize pins a PJRT plugin platform, so the
+    # override goes through jax.config before any computation runs.
+    plat = os.environ.get("TPUSFM_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     p = argparse.ArgumentParser(prog="tpusfm", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -330,6 +364,8 @@ def main(argv=None):
     sp.add_argument("--algorithm", default="bf", choices=["bf", "gms", "logos"])
     sp.add_argument("--pair-span", type=int, default=3)
     sp.add_argument("--calib", default="out/calib.npz")
+    sp.add_argument("--devices", type=int, default=1,
+                    help="shard bundle adjustment over an N-device mesh")
     common(sp)
     sp.set_defaults(fn=cmd_sfm_seq)
 
@@ -340,6 +376,8 @@ def main(argv=None):
     sp.add_argument("--ratio", type=float, default=4.0)
     sp.add_argument("--density", default="sparse", choices=["sparse", "dense", "both"])
     sp.add_argument("--algorithms", nargs="+", default=["sift", "orb", "gms", "logos"])
+    sp.add_argument("--devices", type=int, default=1,
+                    help="shard dense-mode NN matching over an N-device mesh (ring matcher)")
     common(sp)
     sp.set_defaults(fn=cmd_disparity)
 
@@ -348,6 +386,10 @@ def main(argv=None):
     sp.add_argument("--right", default=None)
     sp.add_argument("--num-disparities", type=int, default=224)
     sp.add_argument("--min-disparity", type=int, default=-39)
+    sp.add_argument("--speckle-window", type=int, default=0,
+                    help="speckle filter window in px (default 0 = disabled, "
+                         "the reference's exact setting DisparityUtil.cpp:35; "
+                         "set e.g. 100 to enable the CCL speckle filter)")
     common(sp)
     sp.set_defaults(fn=cmd_stereo)
 

@@ -45,7 +45,11 @@ def _conv1d(x, k, axis):
         pads = ((0, 0), (r, r))
     xp = jnp.pad(x, ((0, 0),) + pads)
     return jax.lax.conv_general_dilated(
-        xp[:, None], kern, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+        xp[:, None], kern, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # f32 taps: TPU's default bf16 conv precision would put ~0.4% noise
+        # on the pooled orientation planes (see scalespace.py precision note)
+        precision=jax.lax.Precision.HIGHEST,
     )[:, 0]
 
 

@@ -107,6 +107,84 @@ def _brief_descriptor(blur, x, y, angle):
     return jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)
 
 
+_N_ANGLE_BINS = 30  # OpenCV ORB quantizes steering to 2*pi/30 steps
+
+
+@functools.partial(jax.jit, static_argnames=())
+def dense_orb_descriptors(img):
+    """Rotated-BRIEF descriptors at EVERY pixel — the reference's dense ORB
+    mode (one size-1 keypoint per pixel + orb->compute,
+    /root/reference/SfM-GMS/SfM-GMS/DisparityUtil.cpp:108,125-133).
+
+    TPU formulation: per-pixel intensity-centroid orientation comes from two
+    31x31 moment convolutions (not per-keypoint patch gathers); the steering
+    angle is quantized to 30 bins as in OpenCV, each bin's rotated pattern is
+    rounded to integer offsets, and a lax.scan over the 256 tests gathers the
+    two shifted pixels per test with the per-pixel bin selecting the offset.
+    Returns ((H*W, 8) uint32 packed descriptors, (H*W,) bool validity) —
+    pixels whose patch leaves the image are invalid.
+    """
+    img = jnp.asarray(img, jnp.float32)
+    h, w = img.shape
+    blur = gaussian_blur(img, 2.0)
+
+    # per-pixel orientation: moments as convolutions
+    r = _PATCH_R
+    g = np.arange(-r, r + 1, dtype=np.float32)
+    gu, gv = np.meshgrid(g, g)
+    disc = ((gu * gu + gv * gv) <= r * r).astype(np.float32)
+    ku = jnp.asarray((gu * disc)[None, None])
+    kv = jnp.asarray((gv * disc)[None, None])
+    xp = jnp.pad(blur[None, None], ((0, 0), (0, 0), (r, r), (r, r)))
+    m10 = jax.lax.conv_general_dilated(
+        xp, ku, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)[0, 0]
+    m01 = jax.lax.conv_general_dilated(
+        xp, kv, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)[0, 0]
+    ang = jnp.arctan2(m01, m10)
+    bins = jnp.floor(jnp.mod(ang, 2 * np.pi) / (2 * np.pi / _N_ANGLE_BINS))
+    bins = jnp.clip(bins.astype(jnp.int32), 0, _N_ANGLE_BINS - 1)  # (H, W)
+
+    # rotated integer offsets per angle bin: (BINS, 256, 4) = (dy1 dx1 dy2 dx2)
+    thetas = np.arange(_N_ANGLE_BINS) * (2 * np.pi / _N_ANGLE_BINS)
+    pat = _PATTERN  # (256, 4): y1 x1 y2 x2
+    offs = np.zeros((_N_ANGLE_BINS, 256, 4), np.int32)
+    for k, th in enumerate(thetas):
+        c, s = np.cos(th), np.sin(th)
+        offs[k, :, 0] = np.round(pat[:, 0] * c + pat[:, 1] * s)
+        offs[k, :, 1] = np.round(-pat[:, 0] * s + pat[:, 1] * c)
+        offs[k, :, 2] = np.round(pat[:, 2] * c + pat[:, 3] * s)
+        offs[k, :, 3] = np.round(-pat[:, 2] * s + pat[:, 3] * c)
+    lim = int(np.abs(offs).max())
+    offs_j = jnp.asarray(offs)  # (BINS, 256, 4)
+
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    flat = blur.reshape(-1)
+
+    def bit_body(acc, t):
+        # t: (BINS, 4) — this test's offsets for every bin
+        o = jnp.take(t, bins, axis=0)  # (H, W, 4) via per-pixel bin
+        y1 = jnp.clip(ys + o[..., 0], 0, h - 1)
+        x1 = jnp.clip(xs + o[..., 1], 0, w - 1)
+        y2 = jnp.clip(ys + o[..., 2], 0, h - 1)
+        x2 = jnp.clip(xs + o[..., 3], 0, w - 1)
+        v1 = jnp.take(flat, y1 * w + x1)
+        v2 = jnp.take(flat, y2 * w + x2)
+        bit = (v1 < v2).astype(jnp.uint32)
+        return acc, bit
+
+    _, bits = jax.lax.scan(bit_body, 0, jnp.swapaxes(offs_j, 0, 1))  # (256, H, W)
+    words = bits.reshape(8, 32, h * w)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    desc = jnp.sum(words << shifts[None, :, None], axis=1, dtype=jnp.uint32)  # (8, HW)
+
+    b = lim + 1
+    valid = ((ys >= b) & (ys < h - b) & (xs >= b) & (xs < w - b)).reshape(-1)
+    return desc.T, valid
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def orb_detect_and_compute(img, cfg: OrbConfig = OrbConfig()) -> Features:
     """ORB features for a grayscale image (H, W) in [0, 1].
@@ -126,7 +204,8 @@ def orb_detect_and_compute(img, cfg: OrbConfig = OrbConfig()) -> Features:
         levels.append((cur, cfg.scale_factor**lvl))
         nh = int(round(h / cfg.scale_factor))
         nw = int(round(w / cfg.scale_factor))
-        cur = jax.image.resize(img, (nh, nw), "linear")
+        cur = jax.image.resize(img, (nh, nw), "linear",
+                               precision=jax.lax.Precision.HIGHEST)
 
     k_lvl = max(32, int(math.ceil(cfg.max_features / max(1, len(levels)) * 1.5)))
     xs_all, sc_all, an_all, rs_all, ds_all, mk_all = [], [], [], [], [], []

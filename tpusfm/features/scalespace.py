@@ -13,6 +13,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# All pyramid convolutions run at HIGHEST precision: on TPU the default conv
+# precision is bfloat16 multiplies, whose ~0.2% error on O(1) pixel values is
+# the same magnitude as the DoG signal (differences of adjacent Gaussian
+# levels, ~1e-3) — extrema detection then fires on rounding noise and SIFT
+# returns garbage keypoints ON CHIP while CPU (always f32) is correct. The
+# blurs are a negligible share of pipeline FLOPs, so full precision here is
+# free; the MXU-heavy descriptor-distance matmuls keep their fast path.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def gaussian_kernel1d(sigma: float) -> np.ndarray:
     """Odd-length normalized Gaussian taps, radius ~4 sigma (static)."""
@@ -34,13 +43,13 @@ def gaussian_blur(img, sigma: float):
     xp = jnp.pad(x, ((0, 0), (r, r), (0, 0)), mode="edge")
     x = jax.lax.conv_general_dilated(
         xp[:, None, :, :], k.reshape(1, 1, -1, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC,
     )[:, 0]
     # cols
     xp = jnp.pad(x, ((0, 0), (0, 0), (r, r)), mode="edge")
     x = jax.lax.conv_general_dilated(
         xp[:, None, :, :], k.reshape(1, 1, 1, -1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC,
     )[:, 0]
     return x[0] if squeeze else x
 
@@ -83,12 +92,12 @@ def build_octave(base, sigma: float, n_layers: int):
     xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
     rows = jax.lax.conv_general_dilated(
         xp, Kj[:, :, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC,
     )  # (1, L, H, W) — per-level row blur
     rp = jnp.pad(rows, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
     cols = jax.lax.conv_general_dilated(
         rp, Kj[:, :, None, :].reshape(len(kernels), 1, 1, width), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC,
         feature_group_count=len(kernels),
     )  # (1, L, H, W) — depthwise per-level col blur
     g = jnp.concatenate([base[None], cols[0]], axis=0)

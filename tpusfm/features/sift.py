@@ -587,7 +587,11 @@ def _prepare_base(img, cfg: SiftConfig):
     img = jnp.asarray(img, jnp.float32)
     h, w = img.shape[-2:]
     if cfg.upsample:
-        base = jax.image.resize(img, img.shape[:-2] + (h * 2, w * 2), "linear")
+        # HIGHEST precision: jax.image.resize lowers to matmuls, which on TPU
+        # default to bf16 — base-image noise would leak into the DoG signal
+        # (see tpusfm/features/scalespace.py precision note)
+        base = jax.image.resize(img, img.shape[:-2] + (h * 2, w * 2), "linear",
+                                precision=jax.lax.Precision.HIGHEST)
         init_blur = 1.0  # assumed 0.5 blur, doubled by upsampling
     else:
         base = img

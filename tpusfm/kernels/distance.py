@@ -126,13 +126,21 @@ def _nn_kernel(q_ref, db_ref, dbmask_ref, best_ref, second_ref, idx_ref, *, metr
     idx_ref[:, 0] = ni
 
 
-@functools.partial(jax.jit, static_argnames=("metric",))
-def nn_search_pallas(q, db, db_mask, metric: str = "l2"):
+@functools.partial(jax.jit, static_argnames=("metric", "tile_q", "tile_db"))
+def nn_search_pallas(q, db, db_mask, metric: str = "l2",
+                     tile_q: int = TILE_Q, tile_db: int = TILE_DB):
     """Streaming NN search on TPU via Pallas.
 
-    q: (Nq, D), db: (Ndb, D) — f32 for "l2", uint32-packed for "hamming".
-    db_mask: (Ndb,) f32/bool — invalid database rows never match.
+    q: (Nq, D), db: (Ndb, D) — f32/bf16 for "l2", uint32-packed for
+    "hamming". db_mask: (Ndb,) f32/bool — invalid database rows never match.
     Nq, Ndb must be multiples of the tile sizes (caller pads; see nn_search).
+
+    tile_q is the HBM-traffic lever: the full database streams from HBM
+    Nq/tile_q times, so dense-mode matching (millions of descriptors) wants
+    large query tiles — tile_q=4096, tile_db=512 keeps the (TQ, TD) f32
+    distance block at 8 MB of VMEM while cutting database re-streaming ~16x
+    vs the 256x256 default (which is tuned for sparse workloads where the
+    whole problem is small).
 
     Returns (idx (Nq,) i32, best (Nq,) f32, second (Nq,) f32) —
     best/second are squared-L2 or Hamming distances.
@@ -146,8 +154,8 @@ def nn_search_pallas(q, db, db_mask, metric: str = "l2"):
         metric = "l2"
     nq, d = q.shape
     ndb = db.shape[0]
-    assert nq % TILE_Q == 0 and ndb % TILE_DB == 0, (nq, ndb)
-    grid = (nq // TILE_Q, ndb // TILE_DB)
+    assert nq % tile_q == 0 and ndb % tile_db == 0, (nq, ndb, tile_q, tile_db)
+    grid = (nq // tile_q, ndb // tile_db)
 
     dbm = db_mask.astype(jnp.float32).reshape(ndb, 1)
     out_shape = (
@@ -155,22 +163,25 @@ def nn_search_pallas(q, db, db_mask, metric: str = "l2"):
         jax.ShapeDtypeStruct((nq, 1), jnp.float32),
         jax.ShapeDtypeStruct((nq, 1), jnp.int32),
     )
+    el = 2 if q.dtype == jnp.bfloat16 else 4
     best, second, idx = pl.pallas_call(
         functools.partial(_nn_kernel, metric=metric),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_Q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_DB, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_DB, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_db, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_db, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2 * nq * ndb * d, bytes_accessed=4 * (nq * d + ndb * d + 3 * nq), transcendentals=0
+            flops=2 * nq * ndb * d,
+            bytes_accessed=el * (nq * d + (nq // tile_q) * ndb * d) + 4 * 3 * nq,
+            transcendentals=0,
         ),
     )(q, db, dbm)
     return idx[:, 0], best[:, 0], second[:, 0]
@@ -209,12 +220,16 @@ def nn_search_xla(q, db, db_mask, metric: str = "l2", block: int = 1024):
     return idx, best, second
 
 
-def nn_search(q, db, db_mask=None, metric: str = "l2"):
+def nn_search(q, db, db_mask=None, metric: str = "l2",
+              tile_q: int | None = None, tile_db: int | None = None):
     """Dispatching NN search: Pallas on TPU, XLA elsewhere.
 
     Handles padding to tile multiples; returned indices refer to the unpadded
     db. Invalid queries (padding rows) return index -1 only if their distances
     are BIG — callers should mask query validity themselves.
+
+    tile_q/tile_db override the Pallas tile sizes (see nn_search_pallas);
+    dense-scale callers pass large query tiles to bound HBM re-streaming.
     """
     q = jnp.asarray(q)
     db = jnp.asarray(db)
@@ -223,12 +238,15 @@ def nn_search(q, db, db_mask=None, metric: str = "l2"):
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         return nn_search_xla(q, db, db_mask, metric=metric)
-    nq = round_up(q.shape[0], TILE_Q)
-    ndb = round_up(db.shape[0], TILE_DB)
+    tq = tile_q or TILE_Q
+    td = tile_db or TILE_DB
+    nq = round_up(q.shape[0], tq)
+    ndb = round_up(db.shape[0], td)
     d = round_up(q.shape[1], 128) if metric == "l2" else q.shape[1]
     qp = pad_axis(pad_axis(q, nq, 0), d, 1)
     dbp = pad_axis(pad_axis(db, ndb, 0), d, 1)
     dbmp = pad_axis(db_mask.astype(jnp.float32), ndb, 0)
-    idx, best, second = nn_search_pallas(qp, dbp, dbmp, metric=metric)
+    idx, best, second = nn_search_pallas(qp, dbp, dbmp, metric=metric,
+                                         tile_q=tq, tile_db=td)
     n = q.shape[0]
     return idx[:n], best[:n], second[:n]

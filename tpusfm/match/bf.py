@@ -23,7 +23,8 @@ from tpusfm.kernels.distance import nn_search, BIG
 from tpusfm.types import Matches
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "metric", "prune", "capacity"))
+@functools.partial(jax.jit, static_argnames=("cfg", "metric", "prune",
+                                              "capacity", "tile_q", "tile_db"))
 def bf_match(
     desc1,
     desc2,
@@ -33,10 +34,14 @@ def bf_match(
     metric: str = "l2",
     prune: bool = True,
     capacity: int | None = None,
+    tile_q: int | None = None,
+    tile_db: int | None = None,
 ) -> Matches:
     """Match desc1 -> desc2. Returns a Matches of fixed capacity.
 
     capacity defaults to cfg.max_matches when pruning, else desc1 capacity.
+    tile_q/tile_db tune the streaming kernel for dense-scale inputs
+    (see tpusfm.kernels.distance.nn_search).
     """
     n1 = desc1.shape[0]
     if mask1 is None:
@@ -44,14 +49,35 @@ def bf_match(
     if mask2 is None:
         mask2 = jnp.ones((desc2.shape[0],), bool)
 
-    idx12, d12, _ = nn_search(desc1, desc2, mask2, metric=metric)
+    idx12, d12, _ = nn_search(desc1, desc2, mask2, metric=metric,
+                              tile_q=tile_q, tile_db=tile_db)
     valid = mask1 & (d12 < BIG / 2)
 
     if cfg.cross_check:
-        idx21, _, _ = nn_search(desc2, desc1, mask1, metric=metric)
+        idx21, _, _ = nn_search(desc2, desc1, mask1, metric=metric,
+                                tile_q=tile_q, tile_db=tile_db)
         back = jnp.take(idx21, jnp.clip(idx12, 0, desc2.shape[0] - 1))
         valid = valid & (back == jnp.arange(n1, dtype=jnp.int32))
 
+    return matches_from_nn(idx12, d12, valid, cfg, metric, prune, capacity)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "metric", "prune", "capacity"))
+def matches_from_nn(
+    idx12,
+    d12,
+    valid,
+    cfg: MatchConfig = MatchConfig(),
+    metric: str = "l2",
+    prune: bool = True,
+    capacity: int | None = None,
+) -> Matches:
+    """Build a pruned fixed-capacity Matches from per-query NN results.
+
+    Shared tail of bf_match, also fed by the ring-sharded NN search
+    (tpusfm.dist.ring_match) so distributed matching applies the exact same
+    reference prune rules (FeatureMatchUtil.cpp:24-30)."""
+    n1 = idx12.shape[0]
     dist = jnp.sqrt(jnp.maximum(d12, 0.0)) if metric == "l2" else d12
     dist = jnp.where(valid, dist, BIG)
 

@@ -20,8 +20,9 @@ from tpusfm.config import PipelineConfig, MatchConfig
 from tpusfm.features.dense import dense_sift_descriptors
 from tpusfm.features.sift import sift_detect_and_compute
 from tpusfm.features.orb import orb_detect_and_compute
-from tpusfm.kernels.distance import nn_search
-from tpusfm.match.bf import bf_match
+from tpusfm.kernels.distance import BIG, nn_search
+from tpusfm.match.bf import bf_match, matches_from_nn
+from tpusfm.utils.pad import pad_axis, round_up
 from tpusfm.match.gms import gms_filter
 from tpusfm.match.logos import logos_match
 from tpusfm.types import Features, Keypoints, Matches
@@ -57,34 +58,80 @@ def disparity_rms(disp, valid, gt, disp_ratio: float, gt_valid=None):
     return rms, n
 
 
+def _dense_grid_kpts(h, w, valid=None) -> Keypoints:
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    return Keypoints(
+        xy=jnp.stack([xs.reshape(-1), ys.reshape(-1)], 1),
+        scale=jnp.ones(h * w, jnp.float32),
+        angle=jnp.zeros(h * w, jnp.float32),
+        response=jnp.ones(h * w, jnp.float32),
+        mask=jnp.ones(h * w, bool) if valid is None else valid,
+    )
+
+
 def dense_features(img, cell: int = 4) -> Features:
     """Per-pixel descriptors wrapped as Features (the reference's dense
     keypoint grid, DisparityUtil.cpp:125-133)."""
     h, w = img.shape
     desc = dense_sift_descriptors(img, cell=cell)
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    kpts = Keypoints(
-        xy=jnp.stack([xs.reshape(-1), ys.reshape(-1)], 1),
-        scale=jnp.ones(h * w, jnp.float32),
-        angle=jnp.zeros(h * w, jnp.float32),
-        response=jnp.ones(h * w, jnp.float32),
-        mask=jnp.ones(h * w, bool),
-    )
-    return Features(kpts=kpts, desc=desc.reshape(h * w, -1))
+    return Features(kpts=_dense_grid_kpts(h, w), desc=desc.reshape(h * w, -1))
+
+
+def dense_orb_features(img) -> Features:
+    """Per-pixel rotated-BRIEF descriptors (the reference's orb x dense cell:
+    size-1 keypoints at every pixel + orb->compute, DisparityUtil.cpp:125-133;
+    border pixels whose patch leaves the image are masked invalid, matching
+    OpenCV's runByImageBorder removal)."""
+    from tpusfm.features.orb import dense_orb_descriptors
+
+    h, w = img.shape
+    desc, valid = dense_orb_descriptors(img)
+    return Features(kpts=_dense_grid_kpts(h, w, valid), desc=desc)
+
+
+def _ring_raw_match(f1: Features, f2: Features, mesh, metric: str,
+                    cfg: MatchConfig) -> Matches:
+    """Un-pruned NN matching with the descriptor axis sharded over ``mesh``.
+
+    The distributed leg of the dense-disparity path: at dense-mode scale the
+    keypoint axis is the long axis (one descriptor per pixel — ~2.9M on the
+    reference's 2594x1131 robot pair, DisparityUtil.cpp:465-483), so queries
+    and database shard over the mesh and database shards rotate around the
+    ICI ring (tpusfm.dist.ring_match). Produces the same Matches as the
+    single-chip raw bf_match (equivalence-tested in tests/test_dist.py)."""
+    from tpusfm.dist.ring_match import ring_nn_search
+
+    n_dev = mesh.devices.size
+    n1, n2 = f1.desc.shape[0], f2.desc.shape[0]
+    cap1, cap2 = round_up(n1, n_dev), round_up(n2, n_dev)
+    q = pad_axis(f1.desc, cap1, 0)
+    db = pad_axis(f2.desc, cap2, 0)
+    dbm = pad_axis(f2.kpts.mask.astype(jnp.float32), cap2, 0)
+    idx, best, _ = ring_nn_search(q, db, dbm, mesh, metric=metric)
+    valid = pad_axis(f1.kpts.mask, cap1, 0) & (best < BIG / 2)
+    m = matches_from_nn(idx[:n1], best[:n1], valid[:n1], cfg, metric,
+                        prune=False, capacity=n1)
+    return m
 
 
 def run_disparity_benchmark(
     left, right, gt, alg: str, density: str, disp_ratio: float,
-    cfg: PipelineConfig = PipelineConfig(),
+    cfg: PipelineConfig = PipelineConfig(), mesh=None,
 ):
     """One cell of the reference benchmark grid (DisparityUtil.cpp:430-461).
 
     alg in {"sift", "orb", "gms", "logos"}; density in {"sparse", "dense"}.
-    Returns dict(rms, count, disp, valid)."""
+    mesh: optional device mesh — dense-mode NN matching shards over it via
+    the ring matcher. Returns dict(rms, count, disp, valid)."""
     h, w = left.shape
     size = (w, h)
-    if density == "dense":
+    if density == "dense" and alg == "orb":
+        # true dense ORB (rotated BRIEF at every pixel, DisparityUtil.cpp:108)
+        f1 = dense_orb_features(left)
+        f2 = dense_orb_features(right)
+        metric = "hamming"
+    elif density == "dense":
         f1 = dense_features(left)
         f2 = dense_features(right)
         metric = "l2"
@@ -98,8 +145,24 @@ def run_disparity_benchmark(
         metric = "l2"
 
     mcfg = dataclasses.replace(cfg.match, cross_check=False)
-    raw = bf_match(f1.desc, f2.desc, f1.kpts.mask, f2.kpts.mask, mcfg,
-                   metric=metric, prune=False, capacity=f1.capacity)
+    if mesh is not None and mesh.devices.size > 1 and density == "dense":
+        raw = _ring_raw_match(f1, f2, mesh, metric, mcfg)
+    elif density == "dense":
+        # Dense-scale single-chip matching: large query tiles bound HBM
+        # re-streaming of the database (see nn_search_pallas docstring), and
+        # f32 descriptors are cast to bf16 — a deliberate reduced-precision
+        # opt-in for the MXU's double-rate path (the reference's dense mode
+        # uses *approximate* FLANN matching here, DisparityUtil.cpp:104-116,
+        # so exact-NN-in-bf16 still dominates its accuracy).
+        to_bf16 = metric != "hamming" and jax.default_backend() == "tpu"
+        d1 = f1.desc.astype(jnp.bfloat16) if to_bf16 else f1.desc
+        d2 = f2.desc.astype(jnp.bfloat16) if to_bf16 else f2.desc
+        raw = bf_match(d1, d2, f1.kpts.mask, f2.kpts.mask, mcfg,
+                       metric=metric, prune=False, capacity=f1.capacity,
+                       tile_q=4096, tile_db=512)
+    else:
+        raw = bf_match(f1.desc, f2.desc, f1.kpts.mask, f2.kpts.mask, mcfg,
+                       metric=metric, prune=False, capacity=f1.capacity)
     if alg == "gms":
         matches = gms_filter(f1.kpts, f2.kpts, raw, size, size, cfg.gms)
     elif alg == "logos" and density == "sparse":
