@@ -63,10 +63,26 @@ def main():
     jax.block_until_ready(r.points3d)
     print(f"warmup(total incl compile): {time.perf_counter()-t0:.1f}s", flush=True)
 
+    def cost_flops(fn, *args, **kw):
+        """XLA's own FLOP estimate for the compiled program."""
+        try:
+            c = jax.jit(fn, **kw).lower(*args).compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            return float(c.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
+    PEAK_BF16 = 394e12  # TPU v5e MXU peak (bf16), for MFU context
+
     t_sift1 = timed(lambda: sift_detect_and_compute(stack[:C], cfg.sift),
                     lambda f: f.desc)
+    fl_sift = cost_flops(
+        lambda x: sift_detect_and_compute.__wrapped__(x, cfg.sift), stack[:C])
     print(f"one SIFT chunk ({C} imgs): {t_sift1*1e3:8.1f} ms "
-          f"({t_sift1/C*1e3:.1f} ms/img)", flush=True)
+          f"({t_sift1/C*1e3:.1f} ms/img, {fl_sift/1e9:.2f} GFLOP, "
+          f"{fl_sift/t_sift1/1e12:.3f} TFLOP/s, "
+          f"MFU {fl_sift/t_sift1/PEAK_BF16*100:.2f}%)", flush=True)
 
     def all_sift():
         return [sift_detect_and_compute(stack[i:i + C], cfg.sift)
@@ -82,8 +98,12 @@ def main():
 
     t_geo = timed(lambda: two_view_batch(f1, f2, intr, cfg),
                   lambda rr: rr.points3d)
+    fl_geo = cost_flops(
+        lambda a, b: two_view_batch.__wrapped__(a, b, intr, cfg), f1, f2)
     print(f"match+geometry batch:     {t_geo*1e3:8.1f} ms "
-          f"({t_geo/bench.N_PAIRS*1e3:.1f} ms/pair)", flush=True)
+          f"({t_geo/bench.N_PAIRS*1e3:.1f} ms/pair, {fl_geo/1e9:.2f} GFLOP, "
+          f"{fl_geo/t_geo/1e12:.3f} TFLOP/s, "
+          f"MFU {fl_geo/t_geo/PEAK_BF16*100:.2f}%)", flush=True)
 
     def full_step():
         fs = all_sift()
@@ -97,6 +117,18 @@ def main():
           f"-> {frames/t_step:.2f} f/s", flush=True)
     overhead = t_step - t_sift_all - t_gather - t_geo
     print(f"residual (pipelining/dispatch): {overhead*1e3:8.1f} ms", flush=True)
+
+    if "--trace" in sys.argv:
+        # XLA op-level trace for TensorBoard (SURVEY.md §5 tracing row);
+        # tolerated to fail on backends without profiler support (the
+        # tunnel plugin may not export TraceMe hooks).
+        tdir = "out/trace"
+        try:
+            with jax.profiler.trace(tdir):
+                jax.block_until_ready(full_step().points3d)
+            print(f"trace -> {tdir}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"trace unavailable on this backend: {e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -145,6 +145,47 @@ def bench_scaling(args):
             jax.block_until_ready(idx)
         dt = (time.perf_counter() - t0) / 3
         out["ring_nn"][n] = round(nq * ndb / dt / 1e9, 3)  # G pair-distances/s
+
+    # data-parallel two-view SfM (pairs/s), pair axis sharded over the mesh
+    import jax.tree_util as jtu
+    from tpusfm.config import MatchConfig, PipelineConfig, RansacConfig, SiftConfig
+    from tpusfm.dist.pair_parallel import parallel_two_view
+    from tpusfm.geometry.projection import project_points
+    from tpusfm.types import CameraIntrinsics, Features, Keypoints
+
+    out["pair_parallel_two_view"] = {}
+    rng = np.random.default_rng(4)
+    n_kp = 512
+    intr2 = CameraIntrinsics.ideal(300.0, 300.0, 160.0, 120.0)
+    X = rng.uniform([-2, -2, 6], [2, 2, 10], size=(n_kp, 3)).astype(np.float32)
+    base_desc = rng.normal(size=(n_kp, 64)).astype(np.float32) * 5
+    fs = []
+    for v in range(2):
+        rv = jnp.asarray(np.array([0.0, 0.12 * v, 0.0], np.float32))
+        tv = jnp.asarray(np.array([0.5 * v, 0.0, 0.0], np.float32))
+        pix = np.array(project_points(jnp.asarray(X), rv, tv, intr2.K, intr2.dist))
+        pix += rng.normal(size=pix.shape).astype(np.float32) * 0.2
+        fs.append(Features(
+            kpts=Keypoints(xy=jnp.asarray(pix.astype(np.float32)),
+                           scale=jnp.ones(n_kp), angle=jnp.zeros(n_kp),
+                           response=jnp.ones(n_kp), mask=jnp.ones(n_kp, bool)),
+            desc=jnp.asarray(base_desc + rng.normal(size=base_desc.shape).astype(np.float32) * 0.01),
+        ))
+    cfg2 = PipelineConfig(match=MatchConfig(max_matches=256),
+                          ransac=RansacConfig(n_hypotheses=64))
+    B = 2 * max(sizes)
+    f1 = jtu.tree_map(lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), fs[0])
+    f2 = jtu.tree_map(lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), fs[1])
+    for n in sizes:
+        mesh = make_mesh(n)
+        r = parallel_two_view(f1, f2, intr2, mesh, cfg2)
+        jax.block_until_ready(r.points3d)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            r = parallel_two_view(f1, f2, intr2, mesh, cfg2)
+            jax.block_until_ready(r.points3d)
+        dt = (time.perf_counter() - t0) / 3
+        out["pair_parallel_two_view"][n] = round(B / dt, 2)  # pairs/s
     return out
 
 

@@ -188,3 +188,43 @@ def test_disparity_dense_ring_matches_single_chip():
                                  mesh=make_mesh())
     assert r1["count"] == r2["count"], (r1["count"], r2["count"])
     np.testing.assert_allclose(r1["rms"], r2["rms"], rtol=1e-4)
+
+
+def test_parallel_two_view_matches_batch():
+    """Data-parallel product path: full two-view SfM with pairs sharded over
+    the mesh == single-device two_view_batch."""
+    import jax.tree_util as jtu
+
+    from tpusfm.config import PipelineConfig
+    from tpusfm.dist.pair_parallel import parallel_two_view
+    from tpusfm.sfm.two_view import two_view_batch
+    from tpusfm.types import CameraIntrinsics
+
+    feats, sizes, intr = _synthetic_sequence_features(n_views=2, n_points=256)
+    B = 8
+    f1 = jtu.tree_map(lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), feats[0])
+    f2 = jtu.tree_map(lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), feats[1])
+    cfg = PipelineConfig()
+    r1 = two_view_batch(f1, f2, intr, cfg)
+    r2 = parallel_two_view(f1, f2, intr, make_mesh(), cfg)
+    np.testing.assert_array_equal(np.asarray(r1.n_matches), np.asarray(r2.n_matches))
+    np.testing.assert_array_equal(np.asarray(r1.n_inliers), np.asarray(r2.n_inliers))
+    np.testing.assert_allclose(np.asarray(r1.R), np.asarray(r2.R), atol=1e-5)
+
+
+def test_ring_nn_blocked_matches_plain():
+    """Blocked-local ring matching (the dense-scale configuration) must be
+    exactly equivalent to the unblocked ring and the plain search."""
+    rng = np.random.default_rng(7)
+    nq, ndb, d = 128, 256, 32
+    q = rng.normal(size=(nq, d)).astype(np.float32)
+    db = rng.normal(size=(ndb, d)).astype(np.float32)
+    mask = np.ones(ndb, np.float32)
+    mask[200:] = 0
+    mesh = make_mesh()
+    idx, best, second = ring_nn_search(jnp.array(q), jnp.array(db),
+                                       jnp.array(mask), mesh, block=8)
+    ridx, rbest, rsecond = nn_search_xla(jnp.array(q), jnp.array(db), jnp.array(mask))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_allclose(np.asarray(best), np.asarray(rbest), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(second), np.asarray(rsecond), rtol=1e-4, atol=1e-4)

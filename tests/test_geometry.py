@@ -178,3 +178,29 @@ def test_eight_point_minimal_null_vector():
     E = _eight_point(jnp.array(x1), jnp.array(x2), w)
     err = np.asarray(sampson_error(E, jnp.array(x1), jnp.array(x2)))
     assert err.max() < 1e-10, err
+
+
+def test_triangulate_closed_form_matches_svd_oracle():
+    """The closed-form normal-equation triangulation (TPU fast path) must
+    agree with the 4x4 null-space SVD estimator on realistic noisy data."""
+    from tpusfm.geometry.triangulate import triangulate_dlt, triangulate_dlt_svd
+
+    rng = np.random.default_rng(11)
+    X = rng.uniform([-2, -2, 4], [2, 2, 10], size=(200, 3)).astype(np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0.5, 0.0, 0.0], np.float32)
+    x1 = X[:, :2] / X[:, 2:]
+    Xc2 = X @ R.T + t
+    x2 = Xc2[:, :2] / Xc2[:, 2:]
+    x1 += rng.normal(size=x1.shape).astype(np.float32) * 1e-3
+    x2 += rng.normal(size=x2.shape).astype(np.float32) * 1e-3
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1)
+    P2 = jnp.concatenate([jnp.asarray(R), jnp.asarray(t).reshape(3, 1)], 1)
+    Xa = np.asarray(triangulate_dlt(P1, P2, jnp.asarray(x1), jnp.asarray(x2)))
+    Xb = np.asarray(triangulate_dlt_svd(P1, P2, jnp.asarray(x1), jnp.asarray(x2)))
+    np.testing.assert_allclose(Xa, Xb, rtol=2e-2, atol=2e-2)
+    # depth error scales as z^2 * sigma / baseline (~0.2 per sigma at z=10,
+    # b=0.5): bound the max by a few sigma and the bulk much tighter
+    err = np.abs(Xa - X)
+    assert err.max() < 1.0, err.max()
+    assert np.median(err) < 0.05, np.median(err)

@@ -68,3 +68,45 @@ def test_hamming_pallas_matches_xla_on_chip():
     i1 = np.asarray(i1)
     np.testing.assert_array_equal(D[np.arange(len(i1)), i1], D.min(1))
     np.testing.assert_array_equal(D.min(1), b1.astype(int))
+
+
+@requires_tpu
+def test_vmapped_pallas_matches_per_element_on_chip():
+    """two_view_batch vmaps bf_match over the pair axis, which batches the
+    Pallas kernel grid — verify Mosaic's batched lowering agrees with
+    per-element results on the real chip."""
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((3, 512, 128)), jnp.float32)
+    db = jnp.asarray(rng.standard_normal((3, 512, 128)), jnp.float32)
+    m = jnp.ones((3, 512), jnp.float32)
+    bi, bb, bs = jax.block_until_ready(jax.vmap(nn_search_pallas)(q, db, m))
+    for b in range(3):
+        i1, b1, s1 = nn_search_pallas(q[b], db[b], m[b])
+        np.testing.assert_allclose(np.asarray(bb[b]), np.asarray(b1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(bs[b]), np.asarray(s1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(bi[b]), np.asarray(i1))
+
+
+@requires_tpu
+def test_big_tile_bf16_matches_f32_defaults_on_chip():
+    """Dense-mode configuration (tile_q=4096, tile_db=512, bf16 operands)
+    must agree with the default f32 kernel on the chosen neighbors' true
+    distances — the deliberate reduced-precision opt-in must only flip
+    near-ties."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((4096, 128)), jnp.float32)
+    db = jnp.asarray(rng.standard_normal((4096, 128)), jnp.float32)
+    m = jnp.ones((4096,), jnp.float32)
+    i32, b32, _ = jax.block_until_ready(nn_search_pallas(q, db, m))
+    ib, bb, _ = jax.block_until_ready(nn_search_pallas(
+        q.astype(jnp.bfloat16), db.astype(jnp.bfloat16), m,
+        tile_q=4096, tile_db=512))
+    qn, dbn = np.asarray(q), np.asarray(db)
+    d_chosen = ((qn - dbn[np.asarray(ib)]) ** 2).sum(-1)
+    d_best = np.asarray(b32)
+    # bf16 winner's true distance within 2% of the true best
+    np.testing.assert_allclose(d_chosen, d_best, rtol=2e-2, atol=2e-2)
+    agree = (np.asarray(ib) == np.asarray(i32)).mean()
+    assert agree > 0.95, agree

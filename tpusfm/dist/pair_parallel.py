@@ -50,3 +50,31 @@ def parallel_pair_match(desc1, desc2, mask1, mask2, mesh: Mesh,
     )
     with mesh:
         return f(desc1, desc2, mask1.astype(jnp.float32), mask2.astype(jnp.float32))
+
+
+def parallel_two_view(feats1, feats2, intr, mesh: Mesh, cfg=None, axis: str = "d"):
+    """FULL two-view SfM (match -> RANSAC -> pose -> triangulate) for a batch
+    of pairs with the pair axis sharded over the mesh — the data-parallel
+    product path that generalizes the reference's serial pair loop
+    (/root/reference/SfM-GMS/SfM-GMS/DisparityUtil.cpp:444-460).
+
+    feats1/feats2: Features with leading batch axis divisible by the mesh
+    size; intr replicated. Returns a TwoViewResult with the batch axis
+    sharded. Per-pair results are identical to tpusfm.sfm.two_view_batch on
+    one device (tests/test_dist.py)."""
+    from tpusfm.config import PipelineConfig
+    from tpusfm.sfm.two_view import two_view_batch
+
+    cfg = cfg or PipelineConfig()
+
+    def local(f1, f2):
+        return two_view_batch.__wrapped__(f1, f2, intr, cfg)
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    with mesh:
+        return f(feats1, feats2)

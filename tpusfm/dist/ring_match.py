@@ -18,15 +18,25 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tpusfm.kernels.distance import BIG, _block_l2, _block_hamming, _block_top2, _merge_top2
+from tpusfm.kernels.distance import (
+    BIG, _block_l2, _block_hamming, _block_top2, _merge_top2, nn_search_xla,
+)
 
 
-def ring_nn_search(q, db, db_mask, mesh: Mesh, metric: str = "l2", axis: str = "d"):
+def ring_nn_search(q, db, db_mask, mesh: Mesh, metric: str = "l2", axis: str = "d",
+                   block: int | None = None):
     """Exact NN over the full db with both q and db sharded on ``axis``.
 
     q: (Nq, D), db: (Ndb, D), db_mask: (Ndb,). Nq and Ndb must be divisible
     by the mesh size (pad upstream). Returns (idx, best, second) like
     tpusfm.kernels.distance.nn_search, with idx referring to global db rows.
+
+    block: inner tile of the local db shard per compute step. Without it the
+    per-step distance block is (Nq/devs, Ndb/devs) — fine for sparse
+    workloads, hopeless at dense-mode scale (~366k x 366k per device for the
+    robot pair on 8 devices). Set e.g. 2048 to bound the materialized block;
+    the shard then streams through the same running-(best, second, argbest)
+    merge the single-chip kernel uses, while ppermute rotation is unchanged.
     """
     n_dev = mesh.devices.size
     shard = db.shape[0] // n_dev
@@ -43,12 +53,16 @@ def ring_nn_search(q, db, db_mask, mesh: Mesh, metric: str = "l2", axis: str = "
             best, second, idx, db_c, dbm_c = carry
             # block owner: the shard currently held started at device (me - step)
             owner = jnp.mod(me - step, n_dev)
-            if metric == "l2":
-                dist = _block_l2(q_l, db_c)
+            if block is not None and block < shard:
+                bidx, bmin, bmin2 = nn_search_xla(
+                    q_l, db_c, dbm_c, metric=metric, block=block)
             else:
-                dist = _block_hamming(q_l, db_c)
-            dist = dist + (1.0 - dbm_c.reshape(1, -1)) * BIG
-            bmin, bmin2, bidx = _block_top2(dist)
+                if metric == "l2":
+                    dist = _block_l2(q_l, db_c)
+                else:
+                    dist = _block_hamming(q_l, db_c)
+                dist = dist + (1.0 - dbm_c.reshape(1, -1)) * BIG
+                bmin, bmin2, bidx = _block_top2(dist)
             bidx = bidx + owner.astype(jnp.int32) * shard
             best, second, idx = _merge_top2(best, second, idx, bmin, bmin2, bidx)
             # rotate database shard to the next device

@@ -33,13 +33,19 @@ def _block_l2(q, db):
     """Squared-L2 distance block: q (TQ, D), db (TD, D) -> (TQ, TD) f32.
 
     Accepts f32 or bf16 operands (bf16 feeds the MXU at double rate; the
-    Hamming path uses exact 0/1 bf16 bit vectors)."""
+    Hamming path uses exact 0/1 bf16 bit vectors). The contract precision
+    must match the operand dtype explicitly: the package-wide
+    jax_default_matmul_precision=float32 (tpusfm/__init__.py) would
+    otherwise reach into this kernel and make Mosaic reject bf16 operands
+    with an fp32 contract precision ("Bad lhs type")."""
     qf = q.astype(jnp.float32)
     dbf = db.astype(jnp.float32)
     qn = jnp.sum(qf * qf, axis=1, keepdims=True)
     dn = jnp.sum(dbf * dbf, axis=1, keepdims=True)
+    prec = jax.lax.Precision.DEFAULT if q.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     cross = jax.lax.dot_general(
-        q, db, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, db, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
     )
     return jnp.maximum(qn + dn.T - 2.0 * cross, 0.0)
 

@@ -97,10 +97,16 @@ def matches_from_nn(
         dist = jnp.where(keep, dist, BIG)
         valid = keep
 
-    # Take the `capacity` smallest distances (ties by index via stable top_k on -dist).
-    neg = -dist
-    _, order = jax.lax.top_k(neg, capacity)
-    order = order.astype(jnp.int32)
+    if not prune and capacity == n1:
+        # Unpruned full-capacity output: selection order is irrelevant to
+        # every consumer (GMS votes, LOGOS, disparity scatter), so skip the
+        # O(N log N) top_k — at dense-mode scale (millions of queries) the
+        # sort would dominate the whole matching step.
+        order = jnp.arange(n1, dtype=jnp.int32)
+    else:
+        # `capacity` smallest distances (ties by index via stable top_k).
+        _, order = jax.lax.top_k(-dist, capacity)
+        order = order.astype(jnp.int32)
     sel_valid = jnp.take(valid, order)
     sel_dist = jnp.take(dist, order)
     sel_idx2 = jnp.take(idx12, order)

@@ -88,12 +88,21 @@ def logos_verify(
     tau2 = jnp.float32(cfg.scale_ratio_threshold**2)
 
     def support_block(j0, block):
+        # Accumulate over the K x K neighbor pairs one term at a time: the
+        # one-shot (N1, B, K, K, 2) broadcast costs K^2 * 2 = 128x the block
+        # memory (hundreds of MB at sparse scale, hopeless at dense scale);
+        # the unrolled accumulation keeps every intermediate at (N1, B).
         w2b = jax.lax.dynamic_slice_in_dim(w2n, j0, block, 0)     # (B, K)
         v2b = jax.lax.dynamic_slice_in_dim(v2, j0, block, 0)      # (B, K, 2)
-        same_w = w1n[:, None, :, None] == w2b[None, :, None, :]   # (N1, B, K, K)
-        dv = v1[:, None, :, None, :] - v2b[None, :, None, :, :]   # (N1, B, K, K, 2)
-        close = jnp.sum(dv * dv, axis=-1) < tau2
-        return jnp.sum((same_w & close).astype(jnp.int32), axis=(2, 3))
+        acc = jnp.zeros((w1n.shape[0], block), jnp.int32)
+        for kk in range(k):
+            for ll in range(k):
+                same_w = w1n[:, None, kk] == w2b[None, :, ll]
+                dvx = v1[:, None, kk, 0] - v2b[None, :, ll, 0]
+                dvy = v1[:, None, kk, 1] - v2b[None, :, ll, 1]
+                close = dvx * dvx + dvy * dvy < tau2
+                acc = acc + (same_w & close).astype(jnp.int32)
+        return acc
 
     block = min(512, n2)
     nblocks = (n2 + block - 1) // block

@@ -108,7 +108,7 @@ def _ring_raw_match(f1: Features, f2: Features, mesh, metric: str,
     q = pad_axis(f1.desc, cap1, 0)
     db = pad_axis(f2.desc, cap2, 0)
     dbm = pad_axis(f2.kpts.mask.astype(jnp.float32), cap2, 0)
-    idx, best, _ = ring_nn_search(q, db, dbm, mesh, metric=metric)
+    idx, best, _ = ring_nn_search(q, db, dbm, mesh, metric=metric, block=2048)
     valid = pad_axis(f1.kpts.mask, cap1, 0) & (best < BIG / 2)
     m = matches_from_nn(idx[:n1], best[:n1], valid[:n1], cfg, metric,
                         prune=False, capacity=n1)
