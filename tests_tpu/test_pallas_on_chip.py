@@ -91,7 +91,7 @@ def test_vmapped_pallas_matches_per_element_on_chip():
 
 @requires_tpu
 def test_big_tile_bf16_matches_f32_defaults_on_chip():
-    """Dense-mode configuration (tile_q=4096, tile_db=512, bf16 operands)
+    """Dense-mode configuration (tile_q=2048, tile_db=512, bf16 operands)
     must agree with the default f32 kernel on the chosen neighbors' true
     distances — the deliberate reduced-precision opt-in must only flip
     near-ties."""
@@ -102,7 +102,7 @@ def test_big_tile_bf16_matches_f32_defaults_on_chip():
     i32, b32, _ = jax.block_until_ready(nn_search_pallas(q, db, m))
     ib, bb, _ = jax.block_until_ready(nn_search_pallas(
         q.astype(jnp.bfloat16), db.astype(jnp.bfloat16), m,
-        tile_q=4096, tile_db=512))
+        tile_q=2048, tile_db=512))
     qn, dbn = np.asarray(q), np.asarray(db)
     d_chosen = ((qn - dbn[np.asarray(ib)]) ** 2).sum(-1)
     d_best = np.asarray(b32)

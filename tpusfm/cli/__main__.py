@@ -191,6 +191,23 @@ def cmd_sfm(args):
     print("R:\n", np.round(np.asarray(r.R), 4))
     print("t:", np.round(np.asarray(r.t), 4))
     print(f"matches={int(r.n_matches)} inliers={int(r.n_inliers)} points={int(r.n_points)}")
+    # mean reprojection error of the kept points through both cameras, in px
+    import jax.numpy as jnp
+    from tpusfm.geometry.undistort import undistort_points
+
+    X = np.asarray(r.points3d)
+    pm = np.asarray(r.point_mask)
+    if pm.any():
+        p1, p2 = r.matches.gather_xy(f1.kpts, f2.kpts)
+        x1n = np.asarray(undistort_points(p1, intr.K, intr.dist))
+        x2n = np.asarray(undistort_points(p2, intr.K, intr.dist))
+        R_, t_ = np.asarray(r.R), np.asarray(r.t)
+        f = float(np.asarray(intr.K)[0, 0])
+        pr1 = X[:, :2] / np.maximum(X[:, 2:], 1e-9)
+        Xc2 = X @ R_.T + t_
+        pr2 = Xc2[:, :2] / np.maximum(Xc2[:, 2:], 1e-9)
+        e = (np.linalg.norm(pr1 - x1n, axis=1) + np.linalg.norm(pr2 - x2n, axis=1)) * 0.5 * f
+        print(f"reproj_error_px={float(np.mean(e[pm])):.3f} (mean over {int(pm.sum())} points)")
     os.makedirs(args.out, exist_ok=True)
     ply = os.path.join(args.out, "two_view.ply")
     write_ply(ply, np.asarray(r.points3d), mask=np.asarray(r.point_mask))

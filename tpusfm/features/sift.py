@@ -614,6 +614,16 @@ def _octave_bases(base, n_oct: int, cfg: SiftConfig):
     return bases
 
 
+def _octave_detect_impl(base_o, octave_scale: float, k_oct: int, cfg: SiftConfig):
+    def one(b):
+        gauss, dog = ss.build_octave(b, cfg.sigma, cfg.n_octave_layers)
+        return _process_octave(gauss, dog, octave_scale, k_oct, cfg)
+
+    if base_o.ndim == 2:
+        return one(base_o)
+    return jax.vmap(one)(base_o)
+
+
 @functools.partial(jax.jit, static_argnames=("octave_scale", "k_oct", "cfg"))
 def _octave_detect(base_o, octave_scale: float, k_oct: int, cfg: SiftConfig):
     """One octave detect+describe as its OWN jit, depending only on its base.
@@ -625,14 +635,23 @@ def _octave_detect(base_o, octave_scale: float, k_oct: int, cfg: SiftConfig):
 
     Accepts (H, W) or a (B, H, W) batch (vmapped: batching amortizes the
     many small latency-bound ops across images)."""
+    return _octave_detect_impl(base_o, octave_scale, k_oct, cfg)
 
-    def one(b):
-        gauss, dog = ss.build_octave(b, cfg.sigma, cfg.n_octave_layers)
-        return _process_octave(gauss, dog, octave_scale, k_oct, cfg)
 
-    if base_o.ndim == 2:
-        return one(base_o)
-    return jax.vmap(one)(base_o)
+@functools.partial(jax.jit, static_argnames=("scales", "k_octs", "cfg"))
+def _octave_detect_tail(bases, scales: tuple, k_octs: tuple, cfg: SiftConfig):
+    """Octaves >= 2 fused into ONE program.
+
+    The big octaves (0, 1) stay separate — they dominate compile time and
+    benefit from concurrent execution — but each small-octave program costs
+    a full host->device dispatch (tens of ms over the tunneled backend)
+    for sub-millisecond compute, so the pyramid tail runs as a single
+    dispatch. Their summed compile cost is small (area shrinks 4x per
+    octave)."""
+    return tuple(
+        _octave_detect_impl(b, s, k, cfg)
+        for b, s, k in zip(bases, scales, k_octs)
+    )
 
 
 def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
@@ -651,14 +670,24 @@ def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
     n_oct = min(n_oct, 1 + max(0, int(math.log2(min(h, w) / (4 * _BORDER)))))
 
     bases = _octave_bases(base, n_oct, cfg)
-    outs = []
+    plan = []
     for o, base_o in enumerate(bases):
         if min(base_o.shape[-2:]) < 4 * _BORDER:
             break
         # candidate budget shrinks with octave area: higher octaves have
         # ~4x fewer pixels, so a uniform budget would waste gather bandwidth
         k_oct = max(32, cfg.max_features >> o)
-        outs.append(_octave_detect(base_o, base_scale * (2.0 ** o), k_oct, cfg))
+        plan.append((base_o, base_scale * (2.0 ** o), k_oct))
+
+    outs = [_octave_detect(b, s, k, cfg) for b, s, k in plan[:2]]
+    if len(plan) > 2:
+        tail = plan[2:]
+        outs.extend(_octave_detect_tail(
+            tuple(b for b, _, _ in tail),
+            tuple(s for _, s, _ in tail),
+            tuple(k for _, _, k in tail),
+            cfg,
+        ))
 
     return _merge_octaves(outs, cfg.max_features)
 

@@ -90,6 +90,36 @@ def dense_orb_features(img) -> Features:
     return Features(kpts=_dense_grid_kpts(h, w, valid), desc=desc)
 
 
+def dense_raw_match(f1: Features, f2: Features, metric: str, cfg: MatchConfig,
+                    chunk: int = 262144) -> Matches:
+    """Un-pruned dense NN matching with host-level query chunking.
+
+    One monolithic program over millions of queries runs for tens of
+    seconds and, on the tunneled worker, a single fault (or watchdog) takes
+    the whole computation down — full-scale portrait (2594x1131, ~2.9M
+    descriptors) crashed the TPU worker as one program. Chunking the query
+    axis into ~256k-row programs keeps each dispatch to a few seconds,
+    bounds peak HBM for kernel temporaries, and costs nothing: the database
+    streams from HBM identically either way. bf16 casting and large tiles
+    as in the single-shot dense path."""
+    to_bf16 = metric != "hamming" and jax.default_backend() == "tpu"
+    d1 = f1.desc.astype(jnp.bfloat16) if to_bf16 else f1.desc
+    d2 = f2.desc.astype(jnp.bfloat16) if to_bf16 else f2.desc
+    n1 = d1.shape[0]
+    idxs, dists = [], []
+    for q0 in range(0, n1, chunk):
+        q1 = min(q0 + chunk, n1)
+        idx, best, _ = nn_search(d1[q0:q1], d2, f2.kpts.mask, metric=metric,
+                                 tile_q=2048, tile_db=512)
+        idxs.append(idx)
+        dists.append(best)
+    idx = jnp.concatenate(idxs)
+    best = jnp.concatenate(dists)
+    valid = f1.kpts.mask & (best < BIG / 2)
+    return matches_from_nn(idx, best, valid, cfg, metric,
+                           prune=False, capacity=n1)
+
+
 def _ring_raw_match(f1: Features, f2: Features, mesh, metric: str,
                     cfg: MatchConfig) -> Matches:
     """Un-pruned NN matching with the descriptor axis sharded over ``mesh``.
@@ -148,18 +178,12 @@ def run_disparity_benchmark(
     if mesh is not None and mesh.devices.size > 1 and density == "dense":
         raw = _ring_raw_match(f1, f2, mesh, metric, mcfg)
     elif density == "dense":
-        # Dense-scale single-chip matching: large query tiles bound HBM
-        # re-streaming of the database (see nn_search_pallas docstring), and
-        # f32 descriptors are cast to bf16 — a deliberate reduced-precision
-        # opt-in for the MXU's double-rate path (the reference's dense mode
-        # uses *approximate* FLANN matching here, DisparityUtil.cpp:104-116,
-        # so exact-NN-in-bf16 still dominates its accuracy).
-        to_bf16 = metric != "hamming" and jax.default_backend() == "tpu"
-        d1 = f1.desc.astype(jnp.bfloat16) if to_bf16 else f1.desc
-        d2 = f2.desc.astype(jnp.bfloat16) if to_bf16 else f2.desc
-        raw = bf_match(d1, d2, f1.kpts.mask, f2.kpts.mask, mcfg,
-                       metric=metric, prune=False, capacity=f1.capacity,
-                       tile_q=4096, tile_db=512)
+        # Dense-scale single-chip matching: query-chunked programs over the
+        # large-tile bf16 kernel (see dense_raw_match — bf16 is a deliberate
+        # reduced-precision opt-in; the reference's dense mode uses
+        # *approximate* FLANN matching here, DisparityUtil.cpp:104-116, so
+        # exact-NN-in-bf16 still dominates its accuracy).
+        raw = dense_raw_match(f1, f2, metric, mcfg)
     else:
         raw = bf_match(f1.desc, f2.desc, f1.kpts.mask, f2.kpts.mask, mcfg,
                        metric=metric, prune=False, capacity=f1.capacity)

@@ -16,7 +16,6 @@ from tpusfm.config import PipelineConfig
 from tpusfm.native import connected_components
 from tpusfm.stereo.disparity import dense_features, match_disparity_image
 from tpusfm.stereo.filters import dilate, median_blur
-from tpusfm.match.bf import bf_match
 from tpusfm.match.gms import gms_filter
 import dataclasses
 
@@ -42,26 +41,20 @@ def create_portrait_mode(left_rgb, right_rgb, cfg: PipelineConfig = PipelineConf
     Returns (portrait (H, W, 3), fg_mask (H, W) bool, disp (H, W))."""
     from tpusfm.io.image import to_gray
 
-    import jax
-
     g1 = to_gray(left_rgb)
     g2 = to_gray(right_rgb)
     h, w = g1.shape
     f1 = dense_features(g1)
     f2 = dense_features(g2)
     mcfg = dataclasses.replace(cfg.match, cross_check=False)
-    # dense-scale matching: bf16 + large query tiles (same deliberate
-    # reduced-precision opt-in as the dense disparity path — the reference
-    # matches these descriptors with approximate FLANN,
-    # DisparityUtil.cpp:286-300) so the full-frame robot pair (2594x1131,
-    # ~2.9M descriptors) streams through the MXU kernel
-    to_bf16 = jax.default_backend() == "tpu"
-    d1 = f1.desc.astype(jnp.bfloat16) if to_bf16 else f1.desc
-    d2 = f2.desc.astype(jnp.bfloat16) if to_bf16 else f2.desc
-    raw = bf_match(d1, d2, f1.kpts.mask, f2.kpts.mask, mcfg,
-                   prune=False, capacity=f1.capacity,
-                   tile_q=4096 if to_bf16 else None,
-                   tile_db=512 if to_bf16 else None)
+    # dense-scale matching: query-chunked programs over the bf16 big-tile
+    # kernel (tpusfm.stereo.disparity.dense_raw_match) so the full-frame
+    # robot pair (2594x1131, ~2.9M descriptors) streams through the MXU in
+    # bounded dispatches — the reference matches these descriptors with
+    # approximate FLANN (DisparityUtil.cpp:286-300)
+    from tpusfm.stereo.disparity import dense_raw_match
+
+    raw = dense_raw_match(f1, f2, "l2", mcfg)
     matches = gms_filter(f1.kpts, f2.kpts, raw, (w, h), (w, h), cfg.gms)
     disp, valid = match_disparity_image(f1.kpts, f2.kpts, matches, h, w)
 
