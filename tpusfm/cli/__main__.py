@@ -323,6 +323,15 @@ def cmd_portrait(args):
 
 
 def cmd_bench(args):
+    if args.ba:
+        import sys as _sys
+
+        _sys.argv = ["scaling_bench"] + (["--cpu"] if args.cpu else [])
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "scripts"))
+        import scaling_bench
+
+        scaling_bench.main()
+        return
     import bench
 
     bench.main()
@@ -418,6 +427,12 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_portrait)
 
     sp = sub.add_parser("bench", help="one-line JSON benchmark")
+    sp.add_argument("--ba", action="store_true",
+                    help="run the BA-iters/s + device-scaling benchmark "
+                         "(scripts/scaling_bench.py) instead of the "
+                         "two-view throughput benchmark")
+    sp.add_argument("--cpu", action="store_true",
+                    help="with --ba: force the virtual CPU mesh backend")
     sp.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

@@ -33,6 +33,7 @@ from tpusfm.features import scalespace as ss
 from tpusfm.types import Features, Keypoints
 
 _BORDER = 5
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def _extrema_mask(dog, threshold: float):
@@ -348,7 +349,12 @@ _N_PLANES = 8
 
 
 def _oriented_planes(dx, dy):
-    """Soft-bin gradient magnitude into 8 orientation planes: (H, W, 8)."""
+    """Soft-bin gradient magnitude into 8 orientation planes: (8, H, W).
+
+    Channels-FIRST on purpose: the pooling cumsums and pads that follow are
+    elementwise over the trailing axes, and TPU vector lanes cover the minor
+    dimension — a (H, W, 8) layout runs them at 8/128 lane utilization,
+    (8, H, W) at full width (measured ~2x total octave-program speedup)."""
     mag = jnp.sqrt(dx * dx + dy * dy)
     ang = jnp.arctan2(dy, dx)
     binf = jnp.mod(ang, 2 * jnp.pi) / (2 * jnp.pi) * _N_PLANES
@@ -360,59 +366,54 @@ def _oriented_planes(dx, dy):
             jnp.mod(b0 + 1, _N_PLANES) == o, f, 0.0
         )
         planes.append(mag * w)
-    return jnp.stack(planes, axis=-1)
-
-
-def _box1d(x, m: int, a: int, axis: int):
-    """Centered running sum of ``m`` samples along ``axis`` (zero padding),
-    window [i-a, i+m-1-a], via cumulative sums and static slices — O(N) and
-    radius-independent (the naive 1-channel conv formulation starved the MXU
-    and dominated the whole SIFT runtime)."""
-    x = jnp.moveaxis(x, axis, -1)
-    n = x.shape[-1]
-    b = m - 1 - a
-    c = jnp.cumsum(x, axis=-1)
-    # S[i] = csum[i+b] - csum[i-a-1]  (csum[j<0] = 0, csum[j>=n] = csum[n-1])
-    hi = jnp.concatenate(
-        [c[..., b:], jnp.repeat(c[..., -1:], min(b, n), axis=-1)][: 2 if b else 1],
-        axis=-1,
-    )[..., :n]
-    lo = jnp.concatenate(
-        [jnp.zeros(x.shape[:-1] + (min(a + 1, n),), x.dtype), c[..., : n - a - 1]],
-        axis=-1,
-    )[..., :n]
-    return jnp.moveaxis(hi - lo, -1, axis)
+    return jnp.stack(planes, axis=0)
 
 
 def _tri_pool(planes, radius: int):
-    """Separable triangular pooling of (H, W, C): the spatial bilinear cell
+    """Separable triangular pooling of (C, H, W): the spatial bilinear cell
     weighting of the SIFT descriptor, applied once densely instead of per
     keypoint sample.
 
-    A triangle of half-width m (peak 1) is box_m * box_m / m, so each axis is
-    two cumsum box passes with mirrored offsets (exact centering for any m)."""
+    Implemented as a separable depthwise convolution with STATIC triangular
+    taps (length 2m-1, peak 1): on TPU a grouped conv maps straight onto the
+    vector units, while the O(N) cumsum box-pair formulation — despite fewer
+    FLOPs — lowers to log-N scan passes plus relayouts and measured 28 ms
+    per call on the bench octave (scripts/micro_sift.py) vs ~1 ms for the
+    conv. FLOPs are tiny either way; passes over HBM are what count."""
     m = max(2, int(radius))
-    a1, a2 = (m - 1) // 2, m - 1 - (m - 1) // 2
-    # zero-pad by m so the second box sees the first box's virtual
-    # out-of-range outputs (box∘box == triangle only on the padded signal)
-    x = jnp.pad(planes, ((m, m), (m, m), (0, 0)))
-    for axis in (0, 1):  # H then W of (H, W, C)
-        x = _box1d(_box1d(x, m, a1, axis), m, a2, axis)
-    return x[m:-m, m:-m] * (1.0 / (m * m))
+    taps = 1.0 - np.abs(np.arange(-(m - 1), m, dtype=np.float32)) / m
+    k = jnp.asarray(taps)
+    c = planes.shape[0]
+    x = planes[None]  # (1, C, H, W)
+    x = jax.lax.conv_general_dilated(
+        x, jnp.broadcast_to(k.reshape(1, 1, -1, 1), (c, 1, 2 * m - 1, 1)),
+        (1, 1), [(m - 1, m - 1), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c, precision=_PREC,
+    )
+    x = jax.lax.conv_general_dilated(
+        x, jnp.broadcast_to(k.reshape(1, 1, 1, -1), (c, 1, 1, 2 * m - 1)),
+        (1, 1), [(0, 0), (m - 1, m - 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c, precision=_PREC,
+    )
+    return x[0]
 
 
 def _take2d(P, sx, sy):
-    """Nearest-neighbor gather from ONE layer's planes (H, W, C).
+    """Nearest-neighbor gather from ONE layer's planes (C, H, W).
 
     sx, sy: (K, S) float coords -> (K, S, C). Used by the layer-streamed
     fast path: gathering per layer lets XLA free each layer's pooled planes
-    immediately, so peak HBM is one (B, H, W, 8) tensor instead of the full
-    (B, L, H, W, 8) stack (the stack put batched octave 0 over the HBM
+    immediately, so peak HBM is one (B, 8, H, W) tensor instead of the full
+    (B, L, 8, H, W) stack (the stack put batched octave 0 over the HBM
     cliff: cumsum pooling holds log-N intermediates of its operand)."""
-    h, w, C = P.shape
+    C, h, w = P.shape
     xi = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, h - 1)
-    return jnp.take(P.reshape(h * w, C), yi * w + xi, axis=0).astype(jnp.float32)
+    k, s = sx.shape
+    out = jnp.take(P.reshape(C, h * w), (yi * w + xi).reshape(-1), axis=1)
+    return jnp.moveaxis(out.reshape(C, k, s), 0, -1).astype(jnp.float32)
 
 
 _ORI_TAPS = np.array([(u, v) for v in (-1.0, 0.0, 1.0) for u in (-1.0, 0.0, 1.0)],
@@ -654,6 +655,25 @@ def _octave_detect_tail(bases, scales: tuple, k_octs: tuple, cfg: SiftConfig):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_oct", "cfg"))
+def _prepare_and_bases(img, n_oct: int, cfg: SiftConfig):
+    """Base upsample/blur + all octave bases in ONE program (each was a
+    separate dispatch costing ~25-30 ms of tunnel latency for a few convs —
+    measured on chip, scripts/sift_sweep.py)."""
+    base = _prepare_base.__wrapped__(img, cfg)
+    return _octave_bases.__wrapped__(base, n_oct, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("scales", "k_octs", "cfg", "k"))
+def _tail_and_merge(bases, o0, o1, scales: tuple, k_octs: tuple,
+                    cfg: SiftConfig, k: int) -> Features:
+    """Small-octave tail + cross-octave top-k merge in ONE program (same
+    dispatch-latency argument as _prepare_and_bases; the merge is a single
+    top_k + gathers)."""
+    outs = [o0, o1] + list(_octave_detect_tail.__wrapped__(bases, scales, k_octs, cfg))
+    return _merge_octaves.__wrapped__(outs, k)
+
+
 def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
     """SIFT keypoints + descriptors for grayscale image(s) in [0, 1].
 
@@ -662,14 +682,14 @@ def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
     (/root/reference/SfM-GMS/SfM-GMS/FeatureMatchUtil.cpp:9-12).
     Structured as a shallow program DAG: bases -> independent octaves ->
     merge, so multiple images pipeline through the device back-to-back."""
-    base = _prepare_base(img, cfg)
     base_scale = 0.5 if cfg.upsample else 1.0
-
-    h, w = base.shape[-2:]
+    h0, w0 = img.shape[-2:]
+    h = h0 * 2 if cfg.upsample else h0
+    w = w0 * 2 if cfg.upsample else w0
     n_oct = ss.num_octaves(h, w, cfg.max_octaves)
     n_oct = min(n_oct, 1 + max(0, int(math.log2(min(h, w) / (4 * _BORDER)))))
 
-    bases = _octave_bases(base, n_oct, cfg)
+    bases = _prepare_and_bases(img, n_oct, cfg)
     plan = []
     for o, base_o in enumerate(bases):
         if min(base_o.shape[-2:]) < 4 * _BORDER:
@@ -682,12 +702,13 @@ def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
     outs = [_octave_detect(b, s, k, cfg) for b, s, k in plan[:2]]
     if len(plan) > 2:
         tail = plan[2:]
-        outs.extend(_octave_detect_tail(
+        return _tail_and_merge(
             tuple(b for b, _, _ in tail),
+            outs[0], outs[1],
             tuple(s for _, s, _ in tail),
             tuple(k for _, _, k in tail),
-            cfg,
-        ))
+            cfg, cfg.max_features,
+        )
 
     return _merge_octaves(outs, cfg.max_features)
 

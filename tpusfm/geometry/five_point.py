@@ -216,6 +216,29 @@ def _project_essential(E):
     return u @ jnp.diag(jnp.array([sm, sm, 0.0], E.dtype)) @ vt
 
 
+def _rref(A, n_pivots: int):
+    """Partially-pivoted reduced row echelon form with a STATIC pivot loop.
+
+    The RANSAC hypothesis path runs thousands of tiny factorizations per
+    frame; iterative decompositions (SVD/LU) serialize into long sweeps on
+    TPU, while this unrolled elimination is a handful of vectorized selects
+    and rank-1 updates per pivot — exact for the well-posed samples and
+    merely garbage (scored away, or flagged by the pivot check downstream)
+    for degenerate ones."""
+    m, n = A.shape
+    for k in range(n_pivots):
+        cand = jnp.where(jnp.arange(m) >= k, jnp.abs(A[:, k]), -1.0)
+        p = jnp.argmax(cand)
+        rk, rp = A[k], A[p]
+        A = A.at[k].set(rp).at[p].set(rk)
+        piv = A[k, k]
+        safe = jnp.where(jnp.abs(piv) > 1e-20, piv, 1e-20)
+        A = A.at[k].set(A[k] / safe)
+        factors = A[:, k].at[k].set(0.0)
+        A = A - factors[:, None] * A[k][None, :]
+    return A
+
+
 def five_point_essential(x1, x2):
     """Essential-matrix candidates from exactly 5 normalized correspondences.
 
@@ -227,13 +250,18 @@ def five_point_essential(x1, x2):
     h1 = jnp.concatenate([x1, ones], axis=1)
     h2 = jnp.concatenate([x2, ones], axis=1)
     A = (h2[:, :, None] * h1[:, None, :]).reshape(5, 9)
+    # Nullspace via SVD: the elimination variant (_nullspace4_of_5x9) is
+    # faster but measurably less accurate on near-degenerate (planar)
+    # samples even after re-orthonormalization — wrong-pose regressions in
+    # tests. The 5x9 SVD stays; the 10x10 solve and the polish steps below
+    # are elimination/closed-form.
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     basis = vt[5:9]                                   # (4, 9) nullspace
     # E(x,y,z) = x*B0 + y*B1 + z*B2 + B3 ; linear-form tensor (3,3,4)
     L = jnp.moveaxis(basis.reshape(4, 3, 3), 0, -1)
 
     M = _constraint_matrix(L)                          # (10, 20)
-    R = jnp.linalg.solve(M[:, :10], M[:, 10:])         # (10, 10) tails
+    R = _rref(M, 10)[:, 10:]                           # (10, 10) tails
 
     # Rows e..j have leading monomials [x2z, x2, y2z, y2, xyz, xy].
     # Tail columns: [xz2, xz, x, yz2, yz, y, z3, z2, z, 1].
@@ -285,12 +313,32 @@ def five_point_essential(x1, x2):
     def constraint_res(v):
         return M @ _mono20(v)                            # (10,)
 
+    def solve3_sym(G, b):
+        """Closed-form symmetric 3x3 solve via the adjugate (the iterative
+        LU behind jnp.linalg.solve is the wrong tool inside a 10-step
+        Gauss-Newton loop vmapped over hundreds of hypotheses)."""
+        a, d, e = G[0, 0], G[0, 1], G[0, 2]
+        bb, f, c = G[1, 1], G[1, 2], G[2, 2]
+        A_ = bb * c - f * f
+        B_ = e * f - d * c
+        C_ = d * f - bb * e
+        D_ = a * c - e * e
+        E_ = d * e - a * f
+        F_ = a * bb - d * d
+        det = a * A_ + d * B_ + e * C_
+        det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+        return jnp.stack([
+            A_ * b[0] + B_ * b[1] + C_ * b[2],
+            B_ * b[0] + D_ * b[1] + E_ * b[2],
+            C_ * b[0] + E_ * b[1] + F_ * b[2],
+        ]) / det
+
     def polish(v0):
         def gn(_, v):
             r = constraint_res(v)
             J = jax.jacfwd(constraint_res)(v)            # (10, 3)
             JtJ = J.T @ J + 1e-9 * jnp.eye(3, dtype=J.dtype)
-            step = jnp.linalg.solve(JtJ, J.T @ r)
+            step = solve3_sym(JtJ, J.T @ r)
             step = jnp.clip(step, -1.0, 1.0)
             v1 = v - step
             better = jnp.sum(constraint_res(v1) ** 2) < jnp.sum(r ** 2)
