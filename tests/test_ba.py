@@ -90,3 +90,27 @@ def test_build_tracks_drops_conflicts():
     kxy = [np.arange(20).reshape(10, 2).astype(np.float32) for _ in range(2)]
     obs, n_tracks = build_tracks(pair_matches, kxy, 2)
     assert n_tracks == 0
+
+
+def test_track_major_matches_flat_solver():
+    """The at-scale track-major solver (ba/track_solver.py) must reproduce
+    the dense-W baseline solver on the same problem (VERDICT r3 #6)."""
+    from tpusfm.ba.track_solver import bundle_adjust_tm, to_track_major, tm_cost
+
+    K, dist, cams, X, obs = _synthetic_problem(n_views=4, n_points=96)
+    rng = np.random.default_rng(3)
+    cams0 = jnp.asarray(np.array(cams) + np.concatenate(
+        [np.zeros((1, 6)), rng.normal(size=(3, 6)).astype(np.float32) * 0.02]))
+    X0 = jnp.asarray(np.array(X) + rng.normal(size=X.shape).astype(np.float32) * 0.05)
+    cfg = BaConfig(max_iters=8)
+
+    c1, p1, costs1 = bundle_adjust(cams0, X0, obs, K, dist, cfg, 1)
+    tobs = to_track_major(obs, n_tracks=96)
+    c2, p2, costs2 = bundle_adjust_tm(cams0, X0, tobs, K, dist, cfg, 1, chunk=32)
+
+    e1 = float(mean_reprojection_error(c1, p1, obs, K, dist))
+    e2 = float(mean_reprojection_error(c2, p2, obs, K, dist))
+    assert e2 < 0.5, e2
+    np.testing.assert_allclose(np.asarray(costs2), np.asarray(costs1),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), rtol=1e-3, atol=5e-4)

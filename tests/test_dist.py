@@ -228,3 +228,26 @@ def test_ring_nn_blocked_matches_plain():
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
     np.testing.assert_allclose(np.asarray(best), np.asarray(rbest), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(second), np.asarray(rsecond), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_track_major_ba_matches_single_device():
+    """Track-sharded at-scale BA (sharded_bundle_adjust_tm) == bundle_adjust_tm."""
+    from tpusfm.ba.track_solver import bundle_adjust_tm, to_track_major
+    from tpusfm.dist.sharded_ba import sharded_bundle_adjust_tm
+
+    K, dist, cams, X, obs = _synthetic_problem(n_views=4, n_points=96)
+    rng = np.random.default_rng(3)
+    cams0 = jnp.asarray(np.array(cams) + np.concatenate(
+        [np.zeros((1, 6)), rng.normal(size=(3, 6)).astype(np.float32) * 0.02]))
+    X0 = jnp.asarray(np.array(X) + rng.normal(size=X.shape).astype(np.float32) * 0.05)
+    cfg = BaConfig(max_iters=8)
+    tobs = to_track_major(obs, n_tracks=96)
+
+    c1, p1, costs1 = bundle_adjust_tm(cams0, X0, tobs, K, dist, cfg, 1, chunk=32)
+    mesh = make_mesh()
+    c2, p2, costs2 = sharded_bundle_adjust_tm(cams0, X0, tobs, K, dist, mesh,
+                                              cfg, 1, chunk=32)
+    np.testing.assert_allclose(np.asarray(costs2), np.asarray(costs1),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=5e-3)

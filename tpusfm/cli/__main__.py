@@ -249,6 +249,87 @@ def cmd_sfm_seq(args):
     print("->", ply)
 
 
+def cmd_pose_graph(args):
+    import jax.numpy as jnp
+    from tpusfm.config import PipelineConfig, SiftConfig, MatchConfig
+    from tpusfm.features.sift import sift_detect_and_compute
+    from tpusfm.io.dataset import source_image, SFM_SEQUENCE
+    from tpusfm.pgo import PgoConfig, chain_odometry, optimize_pose_graph
+    from tpusfm.pgo.builder import build_sequence_graph, edges_to_arrays
+    from tpusfm.utils.traj import ate_rmse, camera_centers_from_w2c
+    from tpusfm.viz import write_ply
+
+    paths = args.images or [source_image(n) for n in SFM_SEQUENCE]
+    cfg = PipelineConfig(sift=SiftConfig(max_features=args.max_features),
+                         match=MatchConfig(max_matches=1000))
+    feats, sizes = [], []
+    g0 = None
+    for p in paths:
+        g = _prep_image(p, args.max_size)
+        g0 = g if g0 is None else g0
+        feats.append(sift_detect_and_compute(jnp.array(g), cfg.sift))
+        sizes.append((g.shape[1], g.shape[0]))
+    intr = _load_intr(args.calib, g0.shape[1], g0.shape[0])
+
+    edges, em = build_sequence_graph(
+        feats, sizes, intr, cfg, algo=args.algorithm,
+        spans=tuple(args.spans), closure=not args.no_closure)
+    for k, v in em.items():
+        print(f"  {k}: {v}")
+    ei, ej, Zr, Zt, w = edges_to_arrays(edges)
+
+    V = len(feats)
+    R0, t0 = chain_odometry(Zr[: V - 1], Zt[: V - 1])
+    pcfg = PgoConfig(max_iters=args.iters)
+    mesh = _make_mesh(args.devices)
+    if mesh is not None:
+        from tpusfm.dist.sharded_pgo import sharded_optimize_pose_graph
+
+        R1, t1, costs = sharded_optimize_pose_graph(
+            R0, t0, ei, ej, Zr, Zt, w, mesh, pcfg)
+    else:
+        R1, t1, costs = optimize_pose_graph(R0, t0, ei, ej, Zr, Zt, w, pcfg)
+    print(f"  pgo cost: {float(costs[0]):.4f} -> {float(costs[-1]):.4f} "
+          f"({args.iters} LM iters)")
+
+    # node poses are world_T_cam: centers are the translations directly
+    C0 = np.asarray(t0)
+    C1 = np.asarray(t1)
+    out = {"centers_odometry": C0, "centers_pgo": C1,
+           "R_pgo": np.asarray(R1)}
+
+    if args.ref_traj and os.path.exists(args.ref_traj):
+        z = np.load(args.ref_traj)
+        Cref = camera_centers_from_w2c(
+            _rvecs_to_R(z["cams"][:, :3]), z["cams"][:, 3:])
+        if len(Cref) == V:
+            a_before, _ = ate_rmse(C0, Cref)
+            a_after, _ = ate_rmse(C1, Cref)
+            print(f"  ATE vs {os.path.basename(args.ref_traj)}: "
+                  f"odometry {a_before:.4f} -> pgo {a_after:.4f}")
+            out["ate_before"] = a_before
+            out["ate_after"] = a_after
+        else:
+            print(f"  ref trajectory has {len(Cref)} views != {V}; skipping ATE")
+
+    os.makedirs(args.out, exist_ok=True)
+    np.savez(os.path.join(args.out, "pose_graph.npz"), **out)
+    write_ply(os.path.join(args.out, "trajectory_pgo.ply"),
+              np.concatenate([C0, C1]),
+              colors=np.concatenate([
+                  np.tile([255, 64, 64], (V, 1)),
+                  np.tile([64, 255, 64], (V, 1))]))
+    print("->", os.path.join(args.out, "pose_graph.npz"))
+
+
+def _rvecs_to_R(rvecs):
+    import jax
+    import jax.numpy as jnp
+    from tpusfm.geometry.projection import rodrigues
+
+    return np.asarray(jax.vmap(rodrigues)(jnp.asarray(rvecs)))
+
+
 def cmd_disparity(args):
     import jax.numpy as jnp
     from tpusfm.io import imwrite
@@ -394,6 +475,24 @@ def main(argv=None):
                     help="shard bundle adjustment over an N-device mesh")
     common(sp)
     sp.set_defaults(fn=cmd_sfm_seq)
+
+    sp = sub.add_parser("pose-graph",
+                        help="loop-closure pose-graph refinement of a sequence")
+    sp.add_argument("--images", nargs="*", default=None)
+    sp.add_argument("--algorithm", default="bf", choices=["bf", "gms", "logos"])
+    sp.add_argument("--spans", nargs="*", type=int, default=[2],
+                    help="extra edge spans besides odometry (i, i+s)")
+    sp.add_argument("--no-closure", action="store_true",
+                    help="drop the (0, V-1) loop-closure edge")
+    sp.add_argument("--iters", type=int, default=20)
+    sp.add_argument("--calib", default="out/calib.npz")
+    sp.add_argument("--ref-traj", default="out/reconstruction.npz",
+                    help="npz with cams (V,6) for the ATE comparison "
+                         "(produced by sfm-seq)")
+    sp.add_argument("--devices", type=int, default=1,
+                    help="shard pose-graph edges over an N-device mesh")
+    common(sp)
+    sp.set_defaults(fn=cmd_pose_graph)
 
     sp = sub.add_parser("disparity", help="match-based disparity RMS benchmark")
     sp.add_argument("--left", default=None)

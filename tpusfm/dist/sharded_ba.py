@@ -109,3 +109,90 @@ def sharded_bundle_adjust(cams, points, obs: Observations, K, dist, mesh: Mesh,
 
     with mesh:
         return run(cams, points, obs.xy, obs.cam, obs.pt, obs.mask, K, dist)
+
+
+def sharded_bundle_adjust_tm(cams, points, tobs, K, dist, mesh: Mesh,
+                             cfg: BaConfig = BaConfig(), n_fixed_cams: int = 1,
+                             chunk: int = 8192, axis: str = "d"):
+    """Track-major LM bundle adjustment with the TRACK axis sharded.
+
+    The at-scale variant (ba/track_solver.py) distributed: each device owns
+    P/n_dev tracks — their observations, V_p blocks, and point updates stay
+    local; only the reduced camera system (V,6,V,6) + rhs + cost are psum'd
+    per iteration. Communication per LM step is O((6V)^2) bytes, independent
+    of track count — the "partitioning keyframes and map blocks" recipe of
+    the north star. Semantics match bundle_adjust_tm (equivalence-tested on
+    the virtual CPU mesh, tests/test_dist.py)."""
+    from tpusfm.ba.track_solver import (
+        TrackObservations, tm_back_substitute, tm_cost, tm_normal_and_schur,
+        tm_solve_cameras,
+    )
+
+    n_dev = mesh.devices.size
+    Pn, S = tobs.cam.shape
+    cap = round_up(max(Pn, n_dev), n_dev)
+    pad = cap - Pn
+    xy = jnp.pad(tobs.xy, ((0, pad), (0, 0), (0, 0)))
+    cam = jnp.pad(tobs.cam, ((0, pad), (0, 0)))
+    mask = jnp.pad(tobs.mask, ((0, pad), (0, 0)))
+    pts0 = jnp.pad(points, ((0, pad), (0, 0)))
+    local_chunk = min(chunk, cap // n_dev)
+    delta = jnp.float32(cfg.huber_delta)
+
+    def local_normal(cams, pts_l, xy_l, cam_l, mask_l, lam):
+        t = TrackObservations(xy=xy_l, cam=cam_l, mask=mask_l)
+        S_r, rhs, aux = tm_normal_and_schur(
+            cams, pts_l, t, K, dist, delta, lam, local_chunk)
+        return jax.lax.psum(S_r, axis), jax.lax.psum(rhs, axis), aux
+
+    normal_fn = jax.shard_map(
+        local_normal, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P(), (P(axis), P(axis), P(axis))),
+        check_vma=False,
+    )
+    cost_fn = jax.shard_map(
+        lambda cams, pts_l, xy_l, cam_l, mask_l: jax.lax.psum(
+            tm_cost(cams, pts_l,
+                    TrackObservations(xy=xy_l, cam=cam_l, mask=mask_l),
+                    K, dist, delta), axis),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    backsub_fn = jax.shard_map(
+        lambda cam_l, aux, dc: tm_back_substitute(
+            TrackObservations(xy=None, cam=cam_l, mask=None), aux, dc),
+        mesh=mesh,
+        in_specs=(P(axis), (P(axis), P(axis), P(axis)), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(cams, pts, xy, cam, mask):
+        def step(carry, _):
+            cams, pts, lam = carry
+            cost = cost_fn(cams, pts, xy, cam, mask)
+            S_r, rhs, aux = normal_fn(cams, pts, xy, cam, mask, lam)
+            dc = tm_solve_cameras(S_r, rhs, n_fixed_cams)
+            dp = backsub_fn(cam, aux, dc)
+            new_cams = cams + dc
+            new_pts = pts + dp
+            new_cost = cost_fn(new_cams, new_pts, xy, cam, mask)
+            accept = new_cost < cost
+            cams = jnp.where(accept, new_cams, cams)
+            pts = jnp.where(accept, new_pts, pts)
+            lam = jnp.clip(jnp.where(accept, lam * cfg.lambda_down,
+                                     lam * cfg.lambda_up), 1e-9, 1e6)
+            return (cams, pts, lam), jnp.where(accept, new_cost, cost)
+
+        (cams, pts, _), costs = jax.lax.scan(
+            step, (cams, pts, jnp.float32(cfg.init_lambda)), None,
+            length=cfg.max_iters)
+        return cams, pts, costs
+
+    with mesh:
+        cams_o, pts_o, costs = run(cams, pts0, xy, cam, mask)
+    return cams_o, pts_o[:Pn], costs

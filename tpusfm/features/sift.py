@@ -31,6 +31,7 @@ import numpy as np
 from tpusfm.config import SiftConfig
 from tpusfm.features import scalespace as ss
 from tpusfm.types import Features, Keypoints
+from tpusfm.utils.topk import safe_top_k
 
 _BORDER = 5
 _PREC = jax.lax.Precision.HIGHEST
@@ -506,7 +507,7 @@ def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig
     ext = _extrema_mask(dog, thr)  # (L-2, h, w)
     score = jnp.where(ext, jnp.abs(dog[1:-1]), -1.0)
     flat = score.reshape(-1)
-    top_v, top_i = jax.lax.top_k(flat, k_oct)
+    top_v, top_i = safe_top_k(flat, k_oct)
     cand_valid = top_v > 0
     li = top_i // (h * w) + 1
     yi = (top_i % (h * w)) // w
@@ -696,7 +697,9 @@ def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
             break
         # candidate budget shrinks with octave area: higher octaves have
         # ~4x fewer pixels, so a uniform budget would waste gather bandwidth
-        k_oct = max(32, cfg.max_features >> o)
+        # (clamped to the octave's candidate count so top_k stays well-formed)
+        ho, wo = base_o.shape[-2:]
+        k_oct = min(max(32, cfg.max_features >> o), cfg.n_octave_layers * ho * wo)
         plan.append((base_o, base_scale * (2.0 ** o), k_oct))
 
     outs = [_octave_detect(b, s, k, cfg) for b, s, k in plan[:2]]

@@ -1,0 +1,13 @@
+from tpusfm.pgo.graph import (
+    PgoConfig,
+    chain_odometry,
+    edge_residual,
+    graph_cost,
+    optimize_pose_graph,
+)
+from tpusfm.pgo import se3
+
+__all__ = [
+    "PgoConfig", "chain_odometry", "edge_residual", "graph_cost",
+    "optimize_pose_graph", "se3",
+]

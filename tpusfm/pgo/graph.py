@@ -1,0 +1,178 @@
+"""Pose-graph optimization: LM over SE(3) nodes with relative-pose edges.
+
+The loop-closure refinement layer the north star asks for on top of the
+reference's two-view pipeline (the reference chains structureFromMotion
+poses with no global correction, /root/reference/SfM-GMS/SfM-GMS/SfMUtil.cpp:45).
+
+TPU-native design:
+
+* All edges evaluated in one vmapped batch: residual r_e = Log(Z_e^-1 .
+  T_i^-1 . T_j) and its (6, 12) Jacobian from one jacfwd at delta = 0 —
+  the se3 ops (tpusfm.pgo.se3) are written to stay finite there.
+* The normal system H = J^T J is assembled by scatter-adding the four
+  6x6 endpoint blocks per edge into a dense (6N, 6N) matrix — N is the
+  keyframe count (tens to hundreds), so one dense damped solve per LM
+  step is a single well-shaped MXU op, not a sparse emulation.
+* The LM loop is a lax.scan with accept/reject damping — fixed trip
+  count, no data-dependent control flow inside jit.
+* The per-edge block build is a segment-sum over the edge axis, i.e.
+  psum-reducible when edges shard across a mesh
+  (tpusfm/dist/sharded_pgo.py uses the same functions).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpusfm.pgo import se3
+
+
+@dataclasses.dataclass(frozen=True)
+class PgoConfig:
+    max_iters: int = 20
+    init_lambda: float = 1e-4
+    lambda_up: float = 10.0
+    lambda_down: float = 0.1
+    rot_weight: float = 1.0       # weight on the rotation residual block
+    trans_weight: float = 1.0
+
+
+def edge_residual(Ri, ti, Rj, tj, Zr, Zt):
+    """r = Log(Z^-1 . T_i^-1 . T_j) for one edge, (6,)."""
+    Rinv, tinv = se3.inverse(Ri, ti)
+    Rij, tij = se3.compose(Rinv, tinv, Rj, tj)
+    Zri, Zti = se3.inverse(Zr, Zt)
+    Re, te = se3.compose(Zri, Zti, Rij, tij)
+    return se3.se3_log(Re, te)
+
+
+def _block_weights(cfg: PgoConfig):
+    """(6,) residual-block weights: rotation block, then translation."""
+    return jnp.concatenate([jnp.full(3, cfg.rot_weight),
+                            jnp.full(3, cfg.trans_weight)])
+
+
+def _edge_terms(R, t, ei, ej, Zr, Zt, w, bw):
+    """Vmapped residuals + Jacobian blocks for every edge.
+
+    Returns (r (E, 6), Ji (E, 6, 6), Jj (E, 6, 6)) where Ji/Jj are
+    d r / d delta_i, d r / d delta_j under the right-multiplicative update
+    T <- T . Exp(delta), pre-scaled by the per-edge weight and the (6,)
+    rotation/translation block weights bw."""
+
+    def one(Ri, ti, Rj, tj, zr, zt, we):
+        def f(d):
+            dRi, dti = se3.se3_exp(d[:6])
+            dRj, dtj = se3.se3_exp(d[6:])
+            Ri2, ti2 = se3.compose(Ri, ti, dRi, dti)
+            Rj2, tj2 = se3.compose(Rj, tj, dRj, dtj)
+            return edge_residual(Ri2, ti2, Rj2, tj2, zr, zt)
+
+        z = jnp.zeros(12)
+        J = jax.jacfwd(f)(z)          # (6, 12)
+        r = f(z)
+        s = we * bw
+        return r * s, J[:, :6] * s[:, None], J[:, 6:] * s[:, None]
+
+    return jax.vmap(one)(R[ei], t[ei], R[ej], t[ej], Zr, Zt, w)
+
+
+def build_normal_system(R, t, ei, ej, Zr, Zt, w, n_nodes: int,
+                        cfg: PgoConfig = PgoConfig()):
+    """Assemble (H (6N, 6N), g (6N,), cost) for the current linearization.
+
+    Every output is a segment-sum over edges — the psum-reducible part."""
+    r, Ji, Jj = _edge_terms(R, t, ei, ej, Zr, Zt, w, _block_weights(cfg))
+    Hii = jnp.einsum("eki,ekj->eij", Ji, Ji)
+    Hjj = jnp.einsum("eki,ekj->eij", Jj, Jj)
+    Hij = jnp.einsum("eki,ekj->eij", Ji, Jj)
+    gi = -jnp.einsum("eki,ek->ei", Ji, r)
+    gj = -jnp.einsum("eki,ek->ei", Jj, r)
+
+    N = n_nodes
+    H = jnp.zeros((N, 6, N, 6))
+    H = H.at[ei, :, ei, :].add(Hii)
+    H = H.at[ej, :, ej, :].add(Hjj)
+    H = H.at[ei, :, ej, :].add(Hij)
+    H = H.at[ej, :, ei, :].add(jnp.swapaxes(Hij, -1, -2))
+    g = jnp.zeros((N, 6)).at[ei].add(gi).at[ej].add(gj)
+    cost = jnp.sum(r * r)
+    return H.reshape(6 * N, 6 * N), g.reshape(-1), cost
+
+
+def graph_cost(R, t, ei, ej, Zr, Zt, w, cfg: PgoConfig = PgoConfig()):
+    r = jax.vmap(edge_residual)(R[ei], t[ei], R[ej], t[ej], Zr, Zt)
+    return jnp.sum((r * w[:, None] * _block_weights(cfg)[None]) ** 2)
+
+
+def lm_scan(R, t, cfg: PgoConfig, n_fixed: int, normal_fn, cost_fn):
+    """Shared LM driver: normal_fn/cost_fn supply the (possibly psum'd)
+    edge reductions. Used by both the single-device and the edge-sharded
+    (tpusfm/dist/sharded_pgo.py) optimizers."""
+    N = R.shape[0]
+    free = (jnp.arange(N) >= n_fixed).astype(jnp.float32)
+    free6 = jnp.repeat(free, 6)
+
+    def step(carry, _):
+        R, t, lam = carry
+        H, g, cost = normal_fn(R, t)
+        # gauge fix: zero the rows/cols of the frozen nodes, unit diagonal
+        Hf = H * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
+        Hf = Hf + lam * jnp.diag(jnp.clip(jnp.diag(Hf), 1e-6, None))
+        gf = g * free6
+        d = jnp.linalg.solve(Hf, gf).reshape(N, 6) * free[:, None]
+        dR, dt = se3.se3_exp(d)
+        R2, t2 = se3.compose(R, t, dR, dt)
+        new_cost = cost_fn(R2, t2)
+        accept = new_cost < cost
+        R = jnp.where(accept, R2, R)
+        t = jnp.where(accept, t2, t)
+        lam = jnp.clip(jnp.where(accept, lam * cfg.lambda_down,
+                                 lam * cfg.lambda_up), 1e-10, 1e8)
+        return (R, t, lam), jnp.where(accept, new_cost, cost)
+
+    (R, t, _), costs = jax.lax.scan(
+        step, (R, t, jnp.float32(cfg.init_lambda)), None, length=cfg.max_iters)
+    return R, t, costs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_fixed"))
+def optimize_pose_graph(R, t, ei, ej, Zr, Zt, w=None,
+                        cfg: PgoConfig = PgoConfig(), n_fixed: int = 1):
+    """LM pose-graph optimization.
+
+    R (N,3,3), t (N,3): initial node poses (world_T_node).
+    ei, ej (E,) int32: edge endpoints; Zr (E,3,3), Zt (E,3): measured
+    relative poses node_i_T_node_j. w (E,): per-edge weights (masked edges
+    -> 0). Returns (R, t, costs (iters,))."""
+    N = R.shape[0]
+    if w is None:
+        w = jnp.ones(ei.shape[0])
+
+    return lm_scan(
+        R, t, cfg, n_fixed,
+        lambda R_, t_: build_normal_system(R_, t_, ei, ej, Zr, Zt, w, N, cfg),
+        lambda R_, t_: graph_cost(R_, t_, ei, ej, Zr, Zt, w, cfg),
+    )
+
+
+def chain_odometry(Zr, Zt):
+    """Integrate sequential relative poses into absolute node poses.
+
+    Zr (N-1, 3, 3), Zt (N-1, 3): edge k measures k_T_{k+1}. Returns
+    (R (N,3,3), t (N,3)) with node 0 at the identity — the drift-accumulating
+    trajectory the pose graph then corrects (reference anchor: the chained
+    structureFromMotion poses, /root/reference/SfM-GMS/SfM-GMS/SfMUtil.cpp:45)."""
+    def step(carry, zz):
+        R, t = carry
+        Rn, tn = se3.compose(R, t, zz[0], zz[1])
+        return (Rn, tn), (Rn, tn)
+
+    R0 = jnp.eye(3)
+    t0 = jnp.zeros(3)
+    _, (Rs, ts) = jax.lax.scan(step, (R0, t0), (Zr, Zt))
+    return (jnp.concatenate([R0[None], Rs]),
+            jnp.concatenate([t0[None], ts]))
