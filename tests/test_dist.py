@@ -251,3 +251,36 @@ def test_sharded_track_major_ba_matches_single_device():
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=2e-3)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=5e-3)
+
+
+def test_sharded_gms_matches_single_device():
+    """Mesh-sharded GMS vote grid == single-device gms_filter (SURVEY §2.4)."""
+    from tpusfm.config import GmsConfig
+    from tpusfm.dist.sharded_gms import sharded_gms_filter
+    from tpusfm.match.gms import gms_filter
+    from tpusfm.types import Keypoints, Matches
+
+    rng = np.random.default_rng(7)
+    n = 600
+    w, h = 320, 240
+    xy1 = rng.uniform([0, 0], [w, h], size=(n, 2)).astype(np.float32)
+    # coherent motion for 70% + outliers
+    shift = np.array([12.0, -7.0], np.float32)
+    xy2 = xy1 + shift
+    out = rng.random(n) > 0.7
+    xy2[out] = rng.uniform([0, 0], [w, h], size=(int(out.sum()), 2))
+
+    def kp(xy):
+        return Keypoints(xy=jnp.asarray(xy), scale=jnp.ones(n),
+                         angle=jnp.zeros(n), response=jnp.ones(n),
+                         mask=jnp.ones(n, bool))
+
+    m = Matches(idx1=jnp.arange(n, dtype=jnp.int32),
+                idx2=jnp.arange(n, dtype=jnp.int32),
+                distance=jnp.zeros(n), mask=jnp.ones(n, bool))
+    cfg = GmsConfig(with_rotation=True, with_scale=True)
+    r1 = gms_filter(kp(xy1), kp(xy2), m, (w, h), (w, h), cfg)
+    mesh = make_mesh()
+    r2 = sharded_gms_filter(kp(xy1), kp(xy2), m, (w, h), (w, h), mesh, cfg)
+    np.testing.assert_array_equal(np.asarray(r2.mask), np.asarray(r1.mask))
+    assert int(np.asarray(r1.mask).sum()) > 0

@@ -72,14 +72,20 @@ def _neighbors(rows, cols):
     return jnp.stack(out, axis=1).astype(jnp.int32)
 
 
-def _scale_pass(xy1, xy2, mmask, size1, size2, cfg, rows2, cols2, rot_perms):
+def _scale_pass(xy1, xy2, mmask, size1, size2, cfg, rows2, cols2, rot_perms,
+                axis_name=None):
     """Inlier masks for every rotation pattern at one grid scale.
 
     rot_perms: (R, 9). Returns (R, N) bool — per rotation, the OR over the
     4 half-cell grid offsets. Offsets and rotations are vmapped axes, not
     unrolled traces: the original 8 rot x 5 scale x 4 offset unroll produced
     160 scatter-add bodies in one program and compile times in the tens of
-    minutes."""
+    minutes.
+
+    axis_name: when running under shard_map with the MATCH axis sharded,
+    the vote/occupancy histograms are psum'd over that mesh axis so every
+    device scores the full grid while scattering only its match shard
+    (tpusfm/dist/sharded_gms.py)."""
     w1, h1 = size1
     w2, h2 = size2
     rows1, cols1 = cfg.grid_rows, cfg.grid_cols
@@ -97,6 +103,9 @@ def _scale_pass(xy1, xy2, mmask, size1, size2, cfg, rows2, cols2, rot_perms):
         votes = votes[:-1].reshape(c1, c2)
 
         npts1 = jnp.zeros((c1 + 1,), jnp.float32).at[jnp.where(ok, cell1, c1)].add(1.0)[:-1]
+        if axis_name is not None:
+            votes = jax.lax.psum(votes, axis_name)
+            npts1 = jax.lax.psum(npts1, axis_name)
         best_j = jnp.argmax(votes, axis=1)        # (c1,)
 
         # threshold depends only on the left grid occupancy (not rotation)

@@ -188,7 +188,15 @@ def run_disparity_benchmark(
         raw = bf_match(f1.desc, f2.desc, f1.kpts.mask, f2.kpts.mask, mcfg,
                        metric=metric, prune=False, capacity=f1.capacity)
     if alg == "gms":
-        matches = gms_filter(f1.kpts, f2.kpts, raw, size, size, cfg.gms)
+        if mesh is not None and mesh.devices.size > 1:
+            # shard the vote scatter + per-match verdict over the mesh
+            # (SURVEY §2.4); equivalence-tested vs the single-device filter
+            from tpusfm.dist.sharded_gms import sharded_gms_filter
+
+            matches = sharded_gms_filter(f1.kpts, f2.kpts, raw, size, size,
+                                         mesh, cfg.gms)
+        else:
+            matches = gms_filter(f1.kpts, f2.kpts, raw, size, size, cfg.gms)
     elif alg == "logos" and density == "sparse":
         matches = logos_match(f1, f2, cfg.logos)
     else:
