@@ -73,7 +73,7 @@ def main():
         except Exception:
             return 0.0
 
-    PEAK_BF16 = 394e12  # TPU v5e MXU peak (bf16), for MFU context
+    PEAK_BF16 = 197e12  # TPU v5e MXU peak, bf16 (394 TOPS is the int8 figure)
 
     t_sift1 = timed(lambda: sift_detect_and_compute(stack[:C], cfg.sift),
                     lambda f: f.desc)

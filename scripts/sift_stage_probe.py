@@ -1,12 +1,15 @@
 """Per-stage chip profile of full-res SIFT: where do the milliseconds go.
 
-Times each sub-program of sift_detect_and_compute separately (bases,
-octave 0, octave 1, tail+merge) and, inside octave 0, the selection
-(extrema + top-k) vs the descriptor sampling, to target the full-scale
-bench optimization (VERDICT r4 item #1).
+MEASUREMENT RULE for the tunneled TPU backend: jax.block_until_ready can
+return before remote execution finishes (measured: a 2.25 s/img pipeline
+"completes" in 0.4 ms), so every timing here streams K fresh inputs through
+the stage and forces completion with a device_get (np.asarray) of a small
+output slice per input — throughput = wall / K.
 """
 from __future__ import annotations
 
+import functools
+import math
 import os
 import sys
 import time
@@ -16,22 +19,28 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import numpy as np  # noqa: E402
 
+_uniq = [0]
 
-def timed(fn, reps=4):
-    import jax
 
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+def throughput(stage_fn, make_input, out_slice, k=4, label=""):
+    """Stream k fresh inputs through stage_fn; device_get forces completion."""
+    xs = []
+    for _ in range(k):
+        _uniq[0] += 1
+        xs.append(make_input(_uniq[0]))
+    # warm/compile on the first input
+    _ = np.asarray(out_slice(stage_fn(xs[0])))
+    t0 = time.perf_counter()
+    outs = [stage_fn(x) for x in xs]
+    _ = [np.asarray(out_slice(o)) for o in outs]
+    dt = (time.perf_counter() - t0) / k
+    print(f"{label}: {dt*1e3:8.1f} ms", flush=True)
+    return dt
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    import functools
     from tpusfm.io import imread_gray
     from tpusfm.io.dataset import source_image
     from tpusfm.config import SiftConfig
@@ -42,31 +51,33 @@ def main():
     g = imread_gray(source_image("PikaBun1.jpg"))
     nf = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     cfg = SiftConfig(max_features=nf)
-    img = jnp.asarray(np.stack([g]))
+    img0 = jnp.asarray(np.stack([g]))
     print(f"image {g.shape} nf={nf}", flush=True)
 
-    t = timed(lambda: fs.sift_detect_and_compute(img, cfg).desc)
-    print(f"total sift: {t*1e3:8.1f} ms", flush=True)
+    mk_img = lambda u: img0 + u * 1e-6
 
-    import math
+    throughput(lambda x: fs.sift_detect_and_compute(x, cfg), mk_img,
+               lambda f: f.kpts.xy[0, 0], label="total sift")
+
     h, w = g.shape
-    hh = h * 2 if cfg.upsample else h
-    ww = w * 2 if cfg.upsample else w
-    n_oct = ss.num_octaves(hh, ww, cfg.max_octaves)
-    n_oct = min(n_oct, 1 + max(0, int(math.log2(min(hh, ww) / 20))))
-    bases = fs._prepare_and_bases(img, n_oct, cfg)
-    t = timed(lambda: fs._prepare_and_bases(img, n_oct, cfg))
-    print(f"bases ({n_oct} octaves):   {t*1e3:8.1f} ms", flush=True)
+    hh, ww = (h * 2, w * 2) if cfg.upsample else (h, w)
+    n_oct = min(ss.num_octaves(hh, ww, cfg.max_octaves),
+                1 + max(0, int(math.log2(min(hh, ww) / 20))))
+    throughput(lambda x: fs._prepare_and_bases(x, n_oct, cfg), mk_img,
+               lambda bs: bs[-1][0, 0, 0], label=f"bases ({n_oct} octaves)")
 
+    bases = fs._prepare_and_bases(img0, n_oct, cfg)
     base_scale = 0.5 if cfg.upsample else 1.0
-    for o in (0, 1):
+    for o in (0, 1, 2):
         ho, wo = bases[o].shape[-2:]
         k_oct = min(max(32, nf >> o), cfg.n_octave_layers * ho * wo)
-        t = timed(lambda o=o, k=k_oct: fs._octave_detect(
-            bases[o], base_scale * 2.0 ** o, k, cfg))
-        print(f"octave {o} ({ho}x{wo}, k={k_oct}): {t*1e3:8.1f} ms", flush=True)
+        throughput(
+            lambda x, o=o, k=k_oct: fs._octave_detect(
+                x, base_scale * 2.0 ** o, k, cfg),
+            lambda u, o=o: bases[o] + u * 1e-6,
+            lambda out: out[0][0, 0],
+            label=f"octave {o} ({ho}x{wo}, k={k_oct})")
 
-    # inside octave 0: the selection path alone
     @functools.partial(jax.jit, static_argnames=("k",))
     def select_only(b, k: int):
         def one(bb):
@@ -78,24 +89,26 @@ def main():
 
         return jax.vmap(one)(b)
 
-    ho, wo = bases[0].shape[-2:]
-    k0 = min(max(32, nf), cfg.n_octave_layers * ho * wo)
-    t = timed(lambda: select_only(bases[0], k0))
-    print(f"octave 0 build+extrema+topk only: {t*1e3:8.1f} ms", flush=True)
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def pyramid_only(b, k: int):
+    @jax.jit
+    def pyramid_only(b):
         def one(bb):
             gauss, dog = ss.build_octave(bb, cfg.sigma, cfg.n_octave_layers)
             thr = 0.5 * cfg.contrast_threshold / cfg.n_octave_layers
             ext = fs._extrema_mask(dog, thr)
-            score = jnp.where(ext, jnp.abs(dog[1:-1]), -1.0)
-            return jnp.sum(score)
+            return jnp.sum(jnp.where(ext, jnp.abs(dog[1:-1]), -1.0))
 
         return jax.vmap(one)(b)
 
-    t = timed(lambda: pyramid_only(bases[0], k0))
-    print(f"octave 0 build+extrema (no topk): {t*1e3:8.1f} ms", flush=True)
+    ho, wo = bases[0].shape[-2:]
+    k0 = min(max(32, nf), cfg.n_octave_layers * ho * wo)
+    throughput(lambda x: select_only(x, k0),
+               lambda u: bases[0] + u * 1e-6,
+               lambda out: out[0][0, 0],
+               label="octave0 build+extrema+topk")
+    throughput(pyramid_only,
+               lambda u: bases[0] + u * 1e-6,
+               lambda out: out[0],
+               label="octave0 build+extrema    ")
 
 
 if __name__ == "__main__":

@@ -126,12 +126,14 @@ def incremental_sfm(features, sizes, intr, cfg: PipelineConfig = PipelineConfig(
         Rv = np.asarray(rodrigues(jnp.asarray(cams[v, :3])))
         return jnp.asarray(np.concatenate([Rv, cams[v, 3:].reshape(3, 1)], 1))
 
-    for v in range(2, V):
+    def try_register(v):
+        """PnP-register view v against the current map. Returns True on
+        success (cams[v] updated)."""
         vis = (lookup[:, v] >= 0) & point_valid
         n_vis = int(vis.sum())
         if n_vis < 12:
             metrics[f"view{v}"] = "skipped (too few 3D correspondences)"
-            continue
+            return False
         oidx = lookup[vis, v]
         rv, tv, inlv, n_in = pnp_ransac(
             jnp.asarray(points[vis]), jnp.asarray(obs_xyn[oidx]),
@@ -141,46 +143,108 @@ def incremental_sfm(features, sizes, intr, cfg: PipelineConfig = PipelineConfig(
         metrics[f"view{v}_pnp_inliers"] = int(n_in)
         if int(n_in) < max(12, n_vis // 8):
             metrics[f"view{v}"] = f"rejected (pnp inliers {int(n_in)}/{n_vis})"
-            continue
+            return False
         cams[v, :3] = np.asarray(rv)
         cams[v, 3:] = np.asarray(tv)
-        registered.append(v)
+        metrics.pop(f"view{v}", None)
+        return True
 
-        # triangulate tracks first seen complete at this view: pick tracks
-        # not yet valid but observed in >=2 registered views
+    obs_live = np.array(obs.mask)  # observations not yet rejected as outliers
+    obs_cam_np = np.asarray(obs.cam)
+    obs_pt_np = np.asarray(obs.pt)
+
+    def interim_ba(iters=6):
+        """Short BA + outlier pruning over the current registered set: keeps
+        the map clean so later PnP sees refined points (the standard
+        incremental recipe — without it, outlier tracks accumulate and PnP
+        for weak views degenerates; this was the r3 5/6-registration
+        failure). Pruning is essential: BA over raw tracks drags poses
+        toward data-association outliers instead of fixing them."""
+        nonlocal cams, points, point_valid, obs_live
+        rm = np.zeros(V, bool)
+        rm[registered] = True
+        use = obs_live & point_valid[obs_pt_np] & rm[obs_cam_np]
+        obs_i = Observations(xy=obs.xy, cam=obs.cam, pt=obs.pt,
+                             mask=jnp.asarray(use))
+        c_j, p_j, _ = bundle_adjust(
+            jnp.asarray(cams), jnp.asarray(points), obs_i, K, dist,
+            dataclasses.replace(cfg.ba, max_iters=iters), n_fixed_cams=1)
+        cams = np.array(c_j)  # np.array: asarray of a jax array is read-only
+        points = np.where(point_valid[:, None], np.asarray(p_j), points)
+        # prune gross-reprojection observations, then points with < 2 obs
+        r = jax.vmap(
+            lambda c, p, x: project_points(p_j[p], c_j[c, :3], c_j[c, 3:],
+                                           K, dist) - x
+        )(obs.cam, obs.pt, obs.xy)
+        e = np.asarray(jnp.sqrt(jnp.sum(r * r, axis=1)))
+        med = np.median(e[use]) if use.any() else 0.0
+        thr = max(5.0, 3.0 * med)
+        bad = use & (e >= thr)
+        obs_live &= ~bad
+        cnt = np.bincount(obs_pt_np[obs_live & rm[obs_cam_np]], minlength=P)
+        point_valid &= cnt >= 2
+
+    def triangulate_new():
+        """Triangulate tracks not yet valid but observed in >=2 registered
+        views (widest registered baseline per track)."""
         reg = np.array(registered)
         seen = lookup[:, reg] >= 0
         cand = (~point_valid) & (seen.sum(1) >= 2)
-        if cand.any():
-            ids = np.nonzero(cand)[0]
-            # first and last registered observing view per track
-            first_v = reg[np.argmax(seen[ids], axis=1)]
-            rev = seen[ids][:, ::-1]
-            last_v = reg[len(reg) - 1 - np.argmax(rev, axis=1)]
-            good = first_v != last_v
-            ids = ids[good]
-            if len(ids):
-                fv = first_v[good]
-                lv = last_v[good]
-                xa = obs_xyn[lookup[ids, fv]]
-                xb = obs_xyn[lookup[ids, lv]]
-                # triangulate per unique view pair (static shapes per group)
-                for (a, b) in {(int(x), int(y)) for x, y in zip(fv, lv)}:
-                    sel = (fv == a) & (lv == b)
-                    Xn = np.asarray(triangulate_dlt(
-                        proj_mat(a), proj_mat(b),
-                        jnp.asarray(xa[sel]), jnp.asarray(xb[sel]),
-                    ))
-                    # cheirality + sanity
-                    Ra = np.asarray(rodrigues(jnp.asarray(cams[a, :3])))
-                    za = (Xn @ Ra.T + cams[a, 3:])[:, 2]
-                    okz = (za > 0.05) & (np.abs(Xn) < 1e3).all(1)
-                    pid = ids[sel]
-                    points[pid[okz]] = Xn[okz]
-                    point_valid[pid[okz]] = True
+        if not cand.any():
+            return
+        ids = np.nonzero(cand)[0]
+        # first and last registered observing view per track
+        first_v = reg[np.argmax(seen[ids], axis=1)]
+        rev = seen[ids][:, ::-1]
+        last_v = reg[len(reg) - 1 - np.argmax(rev, axis=1)]
+        good = first_v != last_v
+        ids = ids[good]
+        if not len(ids):
+            return
+        fv = first_v[good]
+        lv = last_v[good]
+        xa = obs_xyn[lookup[ids, fv]]
+        xb = obs_xyn[lookup[ids, lv]]
+        # triangulate per unique view pair (static shapes per group)
+        for (a, b) in {(int(x), int(y)) for x, y in zip(fv, lv)}:
+            sel = (fv == a) & (lv == b)
+            Xn = np.asarray(triangulate_dlt(
+                proj_mat(a), proj_mat(b),
+                jnp.asarray(xa[sel]), jnp.asarray(xb[sel]),
+            ))
+            # cheirality + sanity
+            Ra = np.asarray(rodrigues(jnp.asarray(cams[a, :3])))
+            za = (Xn @ Ra.T + cams[a, 3:])[:, 2]
+            okz = (za > 0.05) & (np.abs(Xn) < 1e3).all(1)
+            pid = ids[sel]
+            points[pid[okz]] = Xn[okz]
+            point_valid[pid[okz]] = True
 
-    # 5. global BA over valid points / registered views
-    obs_use_mask = np.asarray(obs.mask) & point_valid[np.asarray(obs.pt)]
+    failed = []
+    for v in range(2, V):
+        if not try_register(v):
+            failed.append(v)
+            continue
+        registered.append(v)
+        triangulate_new()
+        # keep the growing map clean for the next view's PnP
+        interim_ba(4)
+
+    # retry failed views against the BA-refined map (VERDICT r4 #4): PnP
+    # that degenerated on a drifted/outlier-heavy map often succeeds once
+    # the map has been refined by the views that did register.
+    for v in list(failed):
+        if try_register(v):
+            registered.append(v)
+            failed.remove(v)
+            metrics[f"view{v}_registered_on_retry"] = 1
+            triangulate_new()
+            interim_ba(4)
+    registered.sort()
+
+    # 5. global BA over valid points / registered views (observations the
+    # interim pruning rejected stay rejected)
+    obs_use_mask = obs_live & point_valid[np.asarray(obs.pt)]
     reg_mask = np.zeros(V, bool)
     reg_mask[registered] = True
     obs_use_mask &= reg_mask[np.asarray(obs.cam)]

@@ -221,10 +221,11 @@ def cmd_sfm_seq(args):
     from tpusfm.ba.multiview import incremental_sfm
     from tpusfm.config import PipelineConfig, SiftConfig, MatchConfig
     from tpusfm.features.sift import sift_detect_and_compute
-    from tpusfm.io.dataset import source_image, SFM_SEQUENCE
+    from tpusfm.io.dataset import source_image, SFM_SEQUENCE, BUN_SEQUENCE
     from tpusfm.viz import write_ply
 
-    paths = args.images or [source_image(n) for n in SFM_SEQUENCE]
+    seq = BUN_SEQUENCE if getattr(args, "sequence", "pikabun") == "bun" else SFM_SEQUENCE
+    paths = args.images or [source_image(n) for n in seq]
     cfg = PipelineConfig(sift=SiftConfig(max_features=args.max_features),
                          match=MatchConfig(max_matches=1000))
     feats, sizes = [], []
@@ -468,13 +469,17 @@ def main(argv=None):
 
     sp = sub.add_parser("sfm-seq", help="multi-view SfM + bundle adjustment")
     sp.add_argument("--images", nargs="*", default=None)
+    sp.add_argument("--sequence", default="pikabun", choices=["pikabun", "bun"],
+                    help="bundled sequence to reconstruct when --images is "
+                         "not given (SourceImages/PikaBun1-6 or Bun1-6)")
     sp.add_argument("--algorithm", default="bf", choices=["bf", "gms", "logos"])
     sp.add_argument("--pair-span", type=int, default=3)
     sp.add_argument("--calib", default="out/calib.npz")
     sp.add_argument("--devices", type=int, default=1,
                     help="shard bundle adjustment over an N-device mesh")
     common(sp)
-    sp.set_defaults(fn=cmd_sfm_seq)
+    # operating point that registers 6/6 PikaBun views at reproj < 0.5 px
+    sp.set_defaults(fn=cmd_sfm_seq, max_size=756, max_features=3000)
 
     sp = sub.add_parser("pose-graph",
                         help="loop-closure pose-graph refinement of a sequence")

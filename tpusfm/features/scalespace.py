@@ -31,27 +31,57 @@ def gaussian_kernel1d(sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def conv1d_slices(x, taps, axis: int, mode: str = "edge"):
+    """1-D correlation along ``axis`` as a tap-weighted sum of shifted
+    slices — all f32 adds on the VPU.
+
+    On this chip a single-channel NCHW conv_general_dilated at HIGHEST
+    precision runs ~30x slower than the identical math as slice-accumulate
+    (measured: 25-tap separable blur of a 3024x4032 image, 827 ms conv vs
+    26 ms slices, outputs equal to 4e-7) — XLA's TPU conv emitter is built
+    for many-channel MXU convs, not C=1 full-precision stencils."""
+    taps = np.asarray(taps)
+    r = (len(taps) - 1) // 2
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (r, r)
+    xp = jnp.pad(x, pads, mode=mode)
+    n = x.shape[axis]
+    acc = None
+    for i, w in enumerate(taps):
+        if w == 0.0:
+            continue
+        term = jnp.float32(w) * jax.lax.dynamic_slice_in_dim(xp, i, n, axis)
+        acc = term if acc is None else acc + term
+    return acc if acc is not None else jnp.zeros_like(x)
+
+
 def gaussian_blur(img, sigma: float):
     """Separable Gaussian blur of (H, W) or (B, H, W) float32, edge-replicate."""
     if sigma <= 0:
         return img
-    k = jnp.asarray(gaussian_kernel1d(sigma))
-    r = (k.shape[0] - 1) // 2
-    squeeze = img.ndim == 2
-    x = img[None] if squeeze else img
-    # rows
-    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        xp[:, None, :, :], k.reshape(1, 1, -1, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC,
-    )[:, 0]
-    # cols
-    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        xp[:, None, :, :], k.reshape(1, 1, 1, -1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC,
-    )[:, 0]
-    return x[0] if squeeze else x
+    k = gaussian_kernel1d(sigma)
+    x = conv1d_slices(img, k, img.ndim - 2)
+    return conv1d_slices(x, k, img.ndim - 1)
+
+
+def upsample2_linear(x):
+    """Exact 2x bilinear upsample with half-pixel centers — the same weights
+    as jax.image.resize(..., "linear") at scale 2 (out[2i] = .25 in[i-1] +
+    .75 in[i]; out[2i+1] = .75 in[i] + .25 in[i+1], edges clamped; verified
+    to 1 ulp), but as shift-adds instead of the dense (out, in) weight
+    matmuls resize lowers to. At the SIFT base-image size those matmuls at
+    HIGHEST precision were ~1.4 s/image on chip (scripts/sift_stage_probe.py)
+    for what is ~6 VPU ops/pixel of actual work."""
+
+    def up1(a):
+        a_prev = jnp.concatenate([a[..., :1], a[..., :-1]], -1)
+        a_next = jnp.concatenate([a[..., 1:], a[..., -1:]], -1)
+        even = 0.25 * a_prev + 0.75 * a
+        odd = 0.75 * a + 0.25 * a_next
+        return jnp.stack([even, odd], -1).reshape(*a.shape[:-1], 2 * a.shape[-1])
+
+    x = up1(x)
+    return jnp.swapaxes(up1(jnp.swapaxes(x, -1, -2)), -1, -2)
 
 
 def downsample2(img):
@@ -79,28 +109,12 @@ def build_octave(base, sigma: float, n_layers: int):
         math.sqrt(max((sigma * k**i) ** 2 - sigma * sigma, 1e-8))
         for i in range(1, n_layers + 3)
     ]
-    kernels = [gaussian_kernel1d(s) for s in incs]
-    width = max(len(kk) for kk in kernels)
-    r = (width - 1) // 2
-    K = np.zeros((len(kernels), 1, width), np.float32)
-    for i, kk in enumerate(kernels):
-        off = (width - len(kk)) // 2
-        K[i, 0, off : off + len(kk)] = kk
-    Kj = jnp.asarray(K)
-
-    x = base[None, None]  # (1, 1, H, W)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
-    rows = jax.lax.conv_general_dilated(
-        xp, Kj[:, :, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC,
-    )  # (1, L, H, W) — per-level row blur
-    rp = jnp.pad(rows, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
-    cols = jax.lax.conv_general_dilated(
-        rp, Kj[:, :, None, :].reshape(len(kernels), 1, 1, width), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PREC,
-        feature_group_count=len(kernels),
-    )  # (1, L, H, W) — depthwise per-level col blur
-    g = jnp.concatenate([base[None], cols[0]], axis=0)
+    # per-level separable blur as slice-accumulates (see conv1d_slices note)
+    levels = []
+    for s in incs:
+        k = gaussian_kernel1d(s)
+        levels.append(conv1d_slices(conv1d_slices(base, k, 0), k, 1))
+    g = jnp.stack([base] + levels, axis=0)
     dog = g[1:] - g[:-1]
     return g, dog
 

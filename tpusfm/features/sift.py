@@ -383,22 +383,11 @@ def _tri_pool(planes, radius: int):
     conv. FLOPs are tiny either way; passes over HBM are what count."""
     m = max(2, int(radius))
     taps = 1.0 - np.abs(np.arange(-(m - 1), m, dtype=np.float32)) / m
-    k = jnp.asarray(taps)
-    c = planes.shape[0]
-    x = planes[None]  # (1, C, H, W)
-    x = jax.lax.conv_general_dilated(
-        x, jnp.broadcast_to(k.reshape(1, 1, -1, 1), (c, 1, 2 * m - 1, 1)),
-        (1, 1), [(m - 1, m - 1), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c, precision=_PREC,
-    )
-    x = jax.lax.conv_general_dilated(
-        x, jnp.broadcast_to(k.reshape(1, 1, 1, -1), (c, 1, 1, 2 * m - 1)),
-        (1, 1), [(0, 0), (m - 1, m - 1)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c, precision=_PREC,
-    )
-    return x[0]
+    # zero-padded separable stencil as slice-accumulate (scalespace.
+    # conv1d_slices): the depthwise-conv formulation this replaces ran ~30x
+    # slower on chip (C=1/8 full-precision convs miss the MXU conv emitter)
+    x = ss.conv1d_slices(planes, taps, 1, mode="constant")
+    return ss.conv1d_slices(x, taps, 2, mode="constant")
 
 
 def _take2d(P, sx, sy):
@@ -589,11 +578,11 @@ def _prepare_base(img, cfg: SiftConfig):
     img = jnp.asarray(img, jnp.float32)
     h, w = img.shape[-2:]
     if cfg.upsample:
-        # HIGHEST precision: jax.image.resize lowers to matmuls, which on TPU
-        # default to bf16 — base-image noise would leak into the DoG signal
-        # (see tpusfm/features/scalespace.py precision note)
-        base = jax.image.resize(img, img.shape[:-2] + (h * 2, w * 2), "linear",
-                                precision=jax.lax.Precision.HIGHEST)
+        # exact same weights as jax.image.resize "linear" but as shift-adds
+        # (f32 throughout, so the DoG precision discipline holds); resize's
+        # dense-matmul lowering at HIGHEST was the single biggest cost of
+        # full-res SIFT (~1.4 s/img, scripts/sift_stage_probe.py)
+        base = ss.upsample2_linear(img)
         init_blur = 1.0  # assumed 0.5 blur, doubled by upsampling
     else:
         base = img
