@@ -1,17 +1,17 @@
 """tpusfm benchmark: two-view SfM frames/s on TPU vs the reference pipeline.
 
-The reference publishes no numbers (BASELINE.md) — its headline workload is
-the two-view pipeline SIFT detect -> match -> essential/pose -> triangulate
-(/root/reference/SfM-GMS/SfM-GMS/main.cpp:71-84, timed per-phase with
-clock() in FeatureMatchUtil.cpp). The baseline here is that exact pipeline
-re-run via OpenCV (the reference's engine) on this machine's CPU; ours is
-the TPU-native pipeline end-to-end on the real chip.
+Measured at the REFERENCE'S OWN operating point (VERDICT r3 #1): native
+2016x1512 PikaBun frames with the 10000-feature SIFT cap
+(/root/reference/SfM-GMS/SfM-GMS/FeatureMatchUtil.cpp:10, images
+main.cpp:71-72). Pipeline per pair: SIFT detect+describe x2 -> cross-checked
+BF match (<=500 kept) -> essential RANSAC -> recoverPose -> triangulate
+(SfMUtil.cpp:4-83). Baseline = the exact pipeline via OpenCV (the
+reference's engine) on this machine's CPU, same images, same feature cap.
 
-Production configuration measured: pairs stream through in batches —
-SIFT on (4, H, W) image chunks (larger chunks hit the octave-0 pooled-plane
-HBM cliff), then one vmapped match+RANSAC+pose+triangulation program over
-the whole pair batch. Batching is what converts the pipeline's many small
-latency-bound ops into wide VPU/MXU work.
+Timing discipline: the tunneled TPU runtime's block_until_ready can return
+before remote execution completes, so the measured region is closed by
+device_get (np.asarray) of every step's outputs — nothing can be pending
+when the clock stops.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
@@ -29,29 +29,22 @@ import numpy as np
 # later ones start in seconds
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-SIZE = (378, 504)  # H, W
-N_FEATURES = 1024
-N_PAIRS = 8        # pair batch per measured step
-SIFT_CHUNK = 4     # images per SIFT program
-ITERS = 4          # measured steps (N_PAIRS pairs each)
-REF_REPS = 9       # timed OpenCV reference runs (median reported)
+N_FEATURES = 10000
+MAX_MATCHES = 500
+N_PAIRS = 2        # pair batch per measured step
+ITERS = 3          # measured steps
+REF_REPS = 5       # timed OpenCV reference runs (median reported)
 
 
 def _load_pair():
-    import jax
-    import jax.numpy as jnp
     from tpusfm.io import imread_gray
     from tpusfm.io.dataset import source_image
 
-    out = []
-    for n in ("PikaBun1.jpg", "PikaBun4.jpg"):
-        g = imread_gray(source_image(n))
-        out.append(np.asarray(jax.image.resize(jnp.array(g), SIZE, "linear")))
-    return out
+    return [np.asarray(imread_gray(source_image(n)))
+            for n in ("PikaBun1.jpg", "PikaBun4.jpg")]
 
 
 def bench_tpusfm(g1, g2):
-    import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
     from tpusfm.config import PipelineConfig, RansacConfig, SiftConfig, MatchConfig
@@ -60,53 +53,47 @@ def bench_tpusfm(g1, g2):
     from tpusfm.types import CameraIntrinsics
 
     h, w = g1.shape
-    # 64 five-point samples: at this pipeline's measured ~70% inlier ratio a
-    # clean sample lands with prob 1-(1-0.7^5)^64 ~ 1-6e-6; the reference
-    # runs RANSAC at prob=0.7 (SfMUtil.cpp:39), needing only ~7 samples at
-    # that ratio, so 64 is still ~10x its effective budget.
+    # 128 five-point hypotheses: comfortably above the reference's effective
+    # RANSAC budget at prob=0.7 (SfMUtil.cpp:39) for the ~70% inlier ratios
+    # this pipeline measures.
     cfg = PipelineConfig(sift=SiftConfig(max_features=N_FEATURES),
-                         match=MatchConfig(max_matches=500),
-                         ransac=RansacConfig(n_hypotheses=64))
+                         match=MatchConfig(max_matches=MAX_MATCHES),
+                         ransac=RansacConfig(n_hypotheses=128))
     intr = CameraIntrinsics.ideal(0.8255 * w, 0.8255 * w, w / 2, h / 2)
 
-    stack = np.stack([g1, g2] * N_PAIRS)  # (2B, H, W): both images of B pairs
+    imgs = np.stack([g1, g2])  # one pair's images; re-used with unique noise
 
-    def run(x):
-        feats = [
-            sift_detect_and_compute(x[i : i + SIFT_CHUNK], cfg.sift)
-            for i in range(0, 2 * N_PAIRS, SIFT_CHUNK)
-        ]
+    def step(u):
+        """One production step: N_PAIRS pairs through the full pipeline."""
+        feats = []
+        for p in range(N_PAIRS):
+            x = jnp.asarray(imgs) + (u * N_PAIRS + p) * 1e-6
+            feats.append(sift_detect_and_compute(x, cfg.sift))
         fb = jtu.tree_map(lambda *xs: jnp.concatenate(xs), *feats)
         f1 = jtu.tree_map(lambda a: a[0::2], fb)
         f2 = jtu.tree_map(lambda a: a[1::2], fb)
         return two_view_batch(f1, f2, intr, cfg)
 
-    # distinct device buffers per iteration so the runtime cannot dedup
-    xs = [jnp.asarray(stack) + float(i) * 1e-6 for i in range(ITERS)]
-    r = run(xs[0])
-    jax.block_until_ready(r.points3d)
-    r = run(xs[-1])
-    jax.block_until_ready(r.points3d)
-    # throughput: a production frame stream, block once at the end
+    def drain(r):
+        """Force completion: device_get the step outputs."""
+        return (np.asarray(r.n_points), np.asarray(r.n_inliers),
+                np.asarray(r.points3d[:, :4]))
+
+    np_, ni, _ = drain(step(10_000))  # warm / compile
     t0 = time.perf_counter()
-    rs = [run(x) for x in xs]
-    jax.block_until_ready([r.points3d for r in rs])
+    outs = [step(u) for u in range(ITERS)]
+    drained = [drain(r) for r in outs]
     dt = (time.perf_counter() - t0) / (ITERS * N_PAIRS)
-    n_pts = int(np.asarray(rs[-1].n_points).mean())
-    n_inl = int(np.asarray(rs[-1].n_inliers).mean())
-    # a "frame" = one image through the full pipeline (2 per pair)
+    n_pts = int(drained[-1][0].mean())
+    n_inl = int(drained[-1][1].mean())
     return 2.0 / dt, n_pts, n_inl
 
 
 def bench_reference(g1, g2):
     """The reference pipeline via OpenCV on CPU (same machine, same inputs).
 
-    Pinned measurement: 2 warmup runs, then REF_REPS timed runs; the
-    reported frames/s uses the MEDIAN per-run time (the mean drifted by
-    ~35% between rounds on this shared machine). Also returns the quality
-    counts (RANSAC/pose inliers, cheirality-positive triangulated points)
-    so throughput is compared at documented, comparable output quality.
-    """
+    2 warmups then REF_REPS timed runs, MEDIAN per-run time reported, plus
+    quality counts (RANSAC/pose inliers, cheirality-positive points)."""
     try:
         import cv2
     except Exception:
@@ -121,7 +108,7 @@ def bench_reference(g1, g2):
         k1, d1 = sift.detectAndCompute(a, None)
         k2, d2 = sift.detectAndCompute(b, None)
         bf = cv2.BFMatcher(cv2.NORM_L2, crossCheck=True)
-        ms = sorted(bf.match(d1, d2), key=lambda m: m.distance)[:500]
+        ms = sorted(bf.match(d1, d2), key=lambda m: m.distance)[:MAX_MATCHES]
         p1 = np.array([k1[m.queryIdx].pt for m in ms])
         p2 = np.array([k2[m.trainIdx].pt for m in ms])
         E, mask = cv2.findEssentialMat(p1, p2, K, cv2.RANSAC, 0.999, 1.0)
@@ -159,7 +146,7 @@ def main():
     ref = bench_reference(g1, g2)
     vs = fps / ref["fps"] if ref else None
     print(json.dumps({
-        "metric": "two_view_sfm_frames_per_s_504px",
+        "metric": "two_view_sfm_frames_per_s_fullres_10k",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 3) if vs else None,
@@ -168,10 +155,11 @@ def main():
                                 "n_points": ref["n_points"]} if ref else None)},
     }))
     if ref:
-        print(f"# tpusfm: {fps:.2f} f/s ({n_inl} inliers, {n_points} pts/pair); "
-              f"reference(OpenCV CPU): {ref['fps']:.2f} f/s median "
-              f"(mean {ref['fps_mean']:.2f}; {ref['n_inliers']} inliers, "
-              f"{ref['n_points']} pts/pair)", file=sys.stderr)
+        print(f"# tpusfm: {fps:.2f} f/s ({n_inl} inliers, {n_points} pts/pair) "
+              f"at 2016x1512/10k feats; reference(OpenCV CPU): "
+              f"{ref['fps']:.2f} f/s median (mean {ref['fps_mean']:.2f}; "
+              f"{ref['n_inliers']} inliers, {ref['n_points']} pts/pair)",
+              file=sys.stderr)
     else:
         print("# no reference available", file=sys.stderr)
 

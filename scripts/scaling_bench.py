@@ -81,16 +81,18 @@ def bench_ba_iters(args):
     K, dist, cams0, X0, obs = synth_ba_problem(args.views, args.tracks, 3)
     n_obs = obs.xy.shape[0]
     cfg = BaConfig(max_iters=args.iters)
-    # warmup (compile)
+    # warmup (compile); device_get closes the measured region — on the
+    # tunneled backend block_until_ready can return early
     t0 = time.perf_counter()
     c, p, costs = bundle_adjust(cams0, X0, obs, K, dist, cfg, 1)
-    jax.block_until_ready(costs)
+    _ = np.asarray(costs)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     reps = 3
-    for _ in range(reps):
-        c, p, costs = bundle_adjust(cams0 + 1e-6, X0, obs, K, dist, cfg, 1)
-        jax.block_until_ready(costs)
+    outs = [bundle_adjust(cams0 + (r + 1) * 1e-6, X0, obs, K, dist, cfg, 1)
+            for r in range(reps)]
+    _ = [np.asarray(o[2]) for o in outs]
+    costs = outs[-1][2]
     dt = (time.perf_counter() - t0) / reps
     iters_per_s = args.iters / dt
     return {
@@ -101,6 +103,42 @@ def bench_ba_iters(args):
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
     }
+
+
+def bench_ba_tm(args):
+    """Track-major BA at production sizes (VERDICT r4 #6): chip iters/s at
+    32k/128k tracks and 12/24 views with the O(P*S^2) Schur assembly."""
+    import jax
+    import jax.numpy as jnp
+    from tpusfm.ba.track_solver import bundle_adjust_tm, to_track_major
+    from tpusfm.config import BaConfig
+
+    out = {}
+    for n_tracks, n_views in ((32768, 12), (131072, 24)):
+        K, dist, cams0, X0, obs = synth_ba_problem(n_views, n_tracks, 3)
+        tobs = to_track_major(obs, n_tracks=n_tracks)
+        cfg = BaConfig(max_iters=args.iters)
+        t0 = time.perf_counter()
+        c, p, costs = bundle_adjust_tm(cams0, X0, tobs, K, dist, cfg, 1)
+        _ = np.asarray(costs)
+        compile_s = time.perf_counter() - t0
+        reps = 3
+        t0 = time.perf_counter()
+        outs = [bundle_adjust_tm(cams0 + (r + 1) * 1e-6, X0, tobs, K, dist,
+                                 cfg, 1) for r in range(reps)]
+        _ = [np.asarray(o[2]) for o in outs]
+        dt = (time.perf_counter() - t0) / reps
+        key = f"{n_tracks}t_{n_views}v"
+        out[key] = {
+            "iters_per_s": round(args.iters / dt, 2),
+            "n_obs": int(np.asarray(tobs.mask).sum()),
+            "cost_drop": float(np.asarray(outs[-1][2])[0]
+                               / max(float(np.asarray(outs[-1][2])[-1]), 1e-9)),
+            "compile_s": round(compile_s, 1),
+        }
+        print(json.dumps({"metric": "ba_tm_iters_per_s", "config": key,
+                          **out[key]}), flush=True)
+    return out
 
 
 def bench_scaling(args):
@@ -238,6 +276,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--views", type=int, default=6)
     ap.add_argument("--tracks", type=int, default=8192)
+    ap.add_argument("--tm", action="store_true",
+                    help="also run the track-major at-scale BA benchmark "
+                         "(32k/128k tracks, 12/24 views)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--cpu", action="store_true",
@@ -257,6 +298,8 @@ def main():
 
     results = {"ba_single": bench_ba_iters(args)}
     print(json.dumps(results["ba_single"]))
+    if getattr(args, "tm", False):
+        results["ba_track_major"] = bench_ba_tm(args)
     if not args.skip_scaling:
         results["scaling"] = bench_scaling(args)
         print(json.dumps(results["scaling"]))

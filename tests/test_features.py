@@ -105,16 +105,18 @@ def test_dense_orb_descriptors_match_under_shift():
     from tpusfm.features.orb import dense_orb_descriptors
 
     rng = np.random.default_rng(0)
-    img = rng.random((60, 80)).astype(np.float32)
+    # must exceed 2x the cv2 edgeThreshold=31 border the dense path now
+    # replicates (scripts/orb_dense_experiment.py)
+    img = rng.random((120, 160)).astype(np.float32)
     d1, v1 = dense_orb_descriptors(jnp.array(img))
     d2, v2 = dense_orb_descriptors(jnp.array(np.roll(img, 5, axis=1)))
     d1, d2 = np.asarray(d1), np.asarray(d2)
     assert np.asarray(v1).sum() > 500
 
-    W = 80
+    W = 160
     pop = np.vectorize(lambda x: bin(int(x)).count("1"))
-    for (y, x) in [(30, 30), (25, 40), (35, 20)]:
+    for (y, x) in [(60, 60), (50, 80), (70, 40)]:
         ham = pop(d1[y * W + x] ^ d2[y * W + x + 5]).sum()
         assert ham == 0, (y, x, ham)
-    ham_rand = pop(d1[30 * W + 30] ^ d2[10 * W + 60]).sum()
+    ham_rand = pop(d1[60 * W + 60] ^ d2[40 * W + 120]).sum()
     assert 80 < ham_rand < 180, ham_rand

@@ -145,11 +145,16 @@ def tm_normal_and_schur(cams, points, tobs: TrackObservations, K, dist, delta,
         cxy, ccam, cmask, cpts = args
         ct = TrackObservations(xy=cxy, cam=ccam, mask=cmask)
         A, B, r = _slot_blocks(cams, cpts, ct, K, dist, delta)
-        # camera blocks
+        # camera-id reductions as ONE-HOT MXU contractions: a scatter-add
+        # keyed on a handful of camera ids has massive index collisions,
+        # which the TPU scatter lowering serializes (measured: the scatter
+        # formulation left chip BA within 2x of a 2-core CPU); the same
+        # segment-sum as onehot matmuls runs on the MXU.
+        oh = jax.nn.one_hot(ccam, Vn, dtype=A.dtype)     # (c,S,V)
         AtA = jnp.einsum("psik,psil->pskl", A, A)
         Atr = jnp.einsum("psik,psi->psk", A, r)
-        U_c = jnp.zeros((Vn, 6, 6)).at[ccam].add(AtA)
-        gc_c = jnp.zeros((Vn, 6)).at[ccam].add(-Atr)
+        U_c = jnp.einsum("psv,pskl->vkl", oh, AtA)
+        gc_c = -jnp.einsum("psv,psk->vk", oh, Atr)
         # point blocks
         Vp = jnp.einsum("psik,psil->pkl", B, B)
         gp = -jnp.einsum("psik,psi->pk", B, r)
@@ -158,9 +163,10 @@ def tm_normal_and_schur(cams, points, tobs: TrackObservations, K, dist, delta,
         Vinv = jnp.linalg.inv(Vd)
         M = jnp.einsum("psia,pab->psib", W, Vinv)        # (c,S,6,3)
         Scon = -jnp.einsum("psib,ptjb->pstij", M, W)     # (c,S,S,6,6)
-        S_c = (jnp.zeros((Vn, 6, Vn, 6))
-               .at[ccam[:, :, None], :, ccam[:, None, :], :].add(Scon))
-        rhs_c = jnp.zeros((Vn, 6)).at[ccam].add(-jnp.einsum("psib,pb->psi", M, gp))
+        Sv = jnp.einsum("psv,pstij->pvtij", oh, Scon)
+        S_c = jnp.einsum("ptw,pvtij->viwj", oh, Sv)
+        rhs_c = -jnp.einsum("psv,psi->vi", oh,
+                            jnp.einsum("psib,pb->psi", M, gp))
         return (U_c, gc_c, S_c, rhs_c), (Vinv, W, gp)
 
     pad = n_chunks * chunk - P

@@ -110,77 +110,83 @@ def _brief_descriptor(blur, x, y, angle):
 _N_ANGLE_BINS = 30  # OpenCV ORB quantizes steering to 2*pi/30 steps
 
 
+import os as _os
+
+_CV_PATTERN_PATH = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                 "_brief_pattern.npy")
+
+
+def _dense_pattern():
+    """(256, 4) int32 (y1, x1, y2, x2): OpenCV's bit_pattern_31, recovered
+    from the cv2 binary by black-box probing (scripts/extract_brief_pattern.py,
+    bit-verified ~98% on random patches); falls back to the generated
+    pattern when the artifact is absent."""
+    if _os.path.exists(_CV_PATTERN_PATH):
+        q = np.load(_CV_PATTERN_PATH).astype(np.float32)  # (256,4) x1 y1 x2 y2
+        return np.stack([q[:, 1], q[:, 0], q[:, 3], q[:, 2]], 1)
+    return _PATTERN
+
+
+def _cv_gauss7(x, axis):
+    """cv2's GaussianBlur(7, 7, sigma=2) separable taps, REFLECT_101 pad."""
+    from tpusfm.features.scalespace import conv1d_slices
+
+    t = np.exp(-np.arange(-3, 4, dtype=np.float64) ** 2 / (2 * 4.0))
+    return conv1d_slices(x, (t / t.sum()).astype(np.float32), axis,
+                         mode="reflect")
+
+
 @functools.partial(jax.jit, static_argnames=())
 def dense_orb_descriptors(img):
-    """Rotated-BRIEF descriptors at EVERY pixel — the reference's dense ORB
-    mode (one size-1 keypoint per pixel + orb->compute,
+    """BRIEF descriptors at EVERY pixel — the reference's dense ORB mode
+    (one size-1 keypoint per pixel + orb->compute,
     /root/reference/SfM-GMS/SfM-GMS/DisparityUtil.cpp:108,125-133).
 
-    TPU formulation: per-pixel intensity-centroid orientation comes from two
-    31x31 moment convolutions (not per-keypoint patch gathers); the steering
-    angle is quantized to 30 bins as in OpenCV, each bin's rotated pattern is
-    rounded to integer offsets, and a lax.scan over the 256 tests gathers the
-    two shifted pixels per test with the per-pixel bin selecting the offset.
-    Returns ((H*W, 8) uint32 packed descriptors, (H*W,) bool validity) —
-    pixels whose patch leaves the image are invalid.
-    """
+    Parity semantics (validated against cv2 in
+    scripts/orb_dense_experiment.py): cv::KeyPoint leaves angle at the unset
+    marker -1 and ORB::compute does NOT recompute it, so every dense
+    descriptor is sampled with the pattern rotated by a fixed -1 degree;
+    the image is smoothed with GaussianBlur(7,7,sigma=2,REFLECT_101) and
+    single pixels of the blurred image are compared; keypoints within
+    edgeThreshold=31 of the border are dropped. The 256 tests run as a
+    lax.scan of two shifted-gather compares over the whole image.
+    Returns ((H*W, 8) uint32 packed descriptors, (H*W,) bool validity)."""
     img = jnp.asarray(img, jnp.float32)
     h, w = img.shape
-    blur = gaussian_blur(img, 2.0)
+    blur = _cv_gauss7(_cv_gauss7(img, 0), 1)
 
-    # per-pixel orientation: moments as convolutions
-    r = _PATCH_R
-    g = np.arange(-r, r + 1, dtype=np.float32)
-    gu, gv = np.meshgrid(g, g)
-    disc = ((gu * gu + gv * gv) <= r * r).astype(np.float32)
-    ku = jnp.asarray((gu * disc)[None, None])
-    kv = jnp.asarray((gv * disc)[None, None])
-    xp = jnp.pad(blur[None, None], ((0, 0), (0, 0), (r, r), (r, r)))
-    m10 = jax.lax.conv_general_dilated(
-        xp, ku, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST)[0, 0]
-    m01 = jax.lax.conv_general_dilated(
-        xp, kv, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST)[0, 0]
-    ang = jnp.arctan2(m01, m10)
-    bins = jnp.floor(jnp.mod(ang, 2 * np.pi) / (2 * np.pi / _N_ANGLE_BINS))
-    bins = jnp.clip(bins.astype(jnp.int32), 0, _N_ANGLE_BINS - 1)  # (H, W)
-
-    # rotated integer offsets per angle bin: (BINS, 256, 4) = (dy1 dx1 dy2 dx2)
-    thetas = np.arange(_N_ANGLE_BINS) * (2 * np.pi / _N_ANGLE_BINS)
-    pat = _PATTERN  # (256, 4): y1 x1 y2 x2
-    offs = np.zeros((_N_ANGLE_BINS, 256, 4), np.int32)
-    for k, th in enumerate(thetas):
-        c, s = np.cos(th), np.sin(th)
-        offs[k, :, 0] = np.round(pat[:, 0] * c + pat[:, 1] * s)
-        offs[k, :, 1] = np.round(-pat[:, 0] * s + pat[:, 1] * c)
-        offs[k, :, 2] = np.round(pat[:, 2] * c + pat[:, 3] * s)
-        offs[k, :, 3] = np.round(-pat[:, 2] * s + pat[:, 3] * c)
-    lim = int(np.abs(offs).max())
-    offs_j = jnp.asarray(offs)  # (BINS, 256, 4)
+    # fixed angle: -1 degree (cv2 KeyPoint default passed straight through)
+    th = np.deg2rad(-1.0)
+    c, sn = np.cos(th), np.sin(th)
+    pat = _dense_pattern()  # (256, 4): y1 x1 y2 x2
+    offs = np.zeros((256, 4), np.int32)
+    # OpenCV: col = round(x cos - y sin), row = round(x sin + y cos)
+    offs[:, 0] = np.round(pat[:, 1] * sn + pat[:, 0] * c)   # dy1
+    offs[:, 1] = np.round(pat[:, 1] * c - pat[:, 0] * sn)   # dx1
+    offs[:, 2] = np.round(pat[:, 3] * sn + pat[:, 2] * c)   # dy2
+    offs[:, 3] = np.round(pat[:, 3] * c - pat[:, 2] * sn)   # dx2
+    offs_j = jnp.asarray(offs)
 
     ys = jnp.arange(h, dtype=jnp.int32)[:, None]
     xs = jnp.arange(w, dtype=jnp.int32)[None, :]
     flat = blur.reshape(-1)
 
-    def bit_body(acc, t):
-        # t: (BINS, 4) — this test's offsets for every bin
-        o = jnp.take(t, bins, axis=0)  # (H, W, 4) via per-pixel bin
-        y1 = jnp.clip(ys + o[..., 0], 0, h - 1)
-        x1 = jnp.clip(xs + o[..., 1], 0, w - 1)
-        y2 = jnp.clip(ys + o[..., 2], 0, h - 1)
-        x2 = jnp.clip(xs + o[..., 3], 0, w - 1)
+    def bit_body(acc, o):
+        y1 = jnp.clip(ys + o[0], 0, h - 1)
+        x1 = jnp.clip(xs + o[1], 0, w - 1)
+        y2 = jnp.clip(ys + o[2], 0, h - 1)
+        x2 = jnp.clip(xs + o[3], 0, w - 1)
         v1 = jnp.take(flat, y1 * w + x1)
         v2 = jnp.take(flat, y2 * w + x2)
         bit = (v1 < v2).astype(jnp.uint32)
         return acc, bit
 
-    _, bits = jax.lax.scan(bit_body, 0, jnp.swapaxes(offs_j, 0, 1))  # (256, H, W)
+    _, bits = jax.lax.scan(bit_body, 0, offs_j)  # (256, H, W)
     words = bits.reshape(8, 32, h * w)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     desc = jnp.sum(words << shifts[None, :, None], axis=1, dtype=jnp.uint32)  # (8, HW)
 
-    b = lim + 1
+    b = 31  # cv2 ORB edgeThreshold: runByImageBorder drops these keypoints
     valid = ((ys >= b) & (ys < h - b) & (xs >= b) & (xs < w - b)).reshape(-1)
     return desc.T, valid
 
