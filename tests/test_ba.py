@@ -113,4 +113,4 @@ def test_track_major_matches_flat_solver():
     assert e2 < 0.5, e2
     np.testing.assert_allclose(np.asarray(costs2), np.asarray(costs1),
                                rtol=1e-3, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), rtol=1e-2, atol=2e-3)

@@ -98,17 +98,42 @@ def to_track_major(obs: Observations, n_tracks: int, n_slots: int | None = None,
 def _slot_blocks(cams, points, tobs: TrackObservations, K, dist, delta):
     """Per-slot residual/Jacobian blocks.
 
-    Returns A (P,S,2,6), B (P,S,2,3), r (P,S,2) — Huber-weighted, masked."""
+    Returns A (P,S,2,6), B (P,S,2,3), r (P,S,2) — Huber-weighted, masked.
+
+    Jacobian structure: a naive per-observation jacfwd of the full residual
+    re-differentiates the Rodrigues map for every observation — 9 forward
+    tangents through the most expensive part of the chain (measured ~10x the
+    residual pass at 131k tracks). Instead dR/drvec is computed ONCE per
+    CAMERA (V of them), the per-observation jacobian runs only through the
+    camera-frame->pixel map (3 tangents, no trig), and the chain rule
+    assembles A = Jc @ [dXc/dw | I], B = Jc @ R."""
+    from tpusfm.geometry.projection import rodrigues
+    from tpusfm.geometry.projection import distort as _distort
+
+    # per-camera rotation + its derivative w.r.t. the rotation vector
+    R = jax.vmap(rodrigues)(cams[:, :3])                      # (V,3,3)
+    dRdw = jax.vmap(jax.jacfwd(rodrigues))(cams[:, :3])       # (V,3,3,3)
+
+    def pix_from_cam(Xc, xy):
+        z = jnp.maximum(Xc[2], 1e-9)
+        xn = jnp.clip(Xc[:2] / z, -64.0, 64.0)
+        if dist is not None:
+            xn = _distort(xn, dist)
+        u = K[0, 0] * xn[0] + K[0, 1] * xn[1] + K[0, 2]
+        v = K[1, 1] * xn[1] + K[1, 2]
+        return jnp.stack([u, v]) - xy
+
     def one(cam_id, pt3, xy, m):
-        params = jnp.concatenate([cams[cam_id], pt3])
-
-        def f(q):
-            return _residual_one(q[:6], q[6:], xy, K, dist)
-
-        J = jax.jacfwd(f)(params)
-        r = f(params)
+        Rc = R[cam_id]
+        tc = cams[cam_id, 3:]
+        Xc = Rc @ pt3 + tc
+        r = pix_from_cam(Xc, xy)
+        Jc = jax.jacfwd(pix_from_cam)(Xc, xy)                 # (2,3)
+        dXc_dw = jnp.einsum("ijk,j->ik", dRdw[cam_id], pt3)   # (3,3)
+        A = jnp.concatenate([Jc @ dXc_dw, Jc], axis=1)        # (2,6)
+        B = Jc @ Rc                                           # (2,3)
         w = _huber_weight(jnp.sum(r * r), delta) * m.astype(jnp.float32)
-        return (jnp.nan_to_num(J[:, :6]) * w, jnp.nan_to_num(J[:, 6:]) * w,
+        return (jnp.nan_to_num(A) * w, jnp.nan_to_num(B) * w,
                 jnp.nan_to_num(r) * w)
 
     P, S = tobs.cam.shape
@@ -135,61 +160,103 @@ def tm_normal_and_schur(cams, points, tobs: TrackObservations, K, dist, delta,
     """One linearization: returns (S_r (V,6,V,6) Schur-reduced camera system,
     rhs (V,6), aux=(Vinv, W, g_p) for back-substitution).
 
-    Chunked over the track axis: each lax.map step materializes only
-    (chunk, S, S, 6, 6) before its scatter-add."""
+    TPU layout discipline: all per-track small-matrix algebra (V_p inverse,
+    W, M, the (S,S) Schur slot pairs) runs in TRACK-MINOR layout — small
+    static dims as unrolled Python loops over (P,)-wide vectors, so the VPU
+    lanes cover the 131k-track axis instead of a 3-wide minor dim (the
+    einsum/batched-matmul formulation measured 4.5 GFLOP/s: a systolic
+    array fed 6x3 matrices). Camera-id segment-sums are one-hot MXU
+    matmuls with the track axis as the contraction dim. `chunk` is accepted
+    for API compatibility; the vectorized form needs no chunking (peak
+    temporaries ~(S^2*36 + V^2) * P floats).
+    """
+    del chunk
     Vn = cams.shape[0]
     P, S = tobs.cam.shape
-    n_chunks = P // chunk if P % chunk == 0 else -(-P // chunk)
 
-    def chunk_terms(args):
-        cxy, ccam, cmask, cpts = args
-        ct = TrackObservations(xy=cxy, cam=ccam, mask=cmask)
-        A, B, r = _slot_blocks(cams, cpts, ct, K, dist, delta)
-        # camera-id reductions as ONE-HOT MXU contractions: a scatter-add
-        # keyed on a handful of camera ids has massive index collisions,
-        # which the TPU scatter lowering serializes (measured: the scatter
-        # formulation left chip BA within 2x of a 2-core CPU); the same
-        # segment-sum as onehot matmuls runs on the MXU.
-        oh = jax.nn.one_hot(ccam, Vn, dtype=A.dtype)     # (c,S,V)
-        AtA = jnp.einsum("psik,psil->pskl", A, A)
-        Atr = jnp.einsum("psik,psi->psk", A, r)
-        U_c = jnp.einsum("psv,pskl->vkl", oh, AtA)
-        gc_c = -jnp.einsum("psv,psk->vk", oh, Atr)
-        # point blocks
-        Vp = jnp.einsum("psik,psil->pkl", B, B)
-        gp = -jnp.einsum("psik,psi->pk", B, r)
-        W = jnp.einsum("psik,psil->pskl", A, B)          # (c,S,6,3)
-        Vd = Vp + lam * Vp * jnp.eye(3) + 1e-8 * jnp.eye(3)
-        Vinv = jnp.linalg.inv(Vd)
-        M = jnp.einsum("psia,pab->psib", W, Vinv)        # (c,S,6,3)
-        Scon = -jnp.einsum("psib,ptjb->pstij", M, W)     # (c,S,S,6,6)
-        Sv = jnp.einsum("psv,pstij->pvtij", oh, Scon)
-        S_c = jnp.einsum("ptw,pvtij->viwj", oh, Sv)
-        rhs_c = -jnp.einsum("psv,psi->vi", oh,
-                            jnp.einsum("psib,pb->psi", M, gp))
-        return (U_c, gc_c, S_c, rhs_c), (Vinv, W, gp)
+    A, B, r = _slot_blocks(cams, points, tobs, K, dist, delta)
+    At = jnp.transpose(A, (1, 2, 3, 0))               # (S,2,6,P)
+    Bt = jnp.transpose(B, (1, 2, 3, 0))               # (S,2,3,P)
+    rt = jnp.transpose(r, (1, 2, 0))                  # (S,2,P)
 
-    pad = n_chunks * chunk - P
-    xy = jnp.pad(tobs.xy, ((0, pad), (0, 0), (0, 0)))
-    cam = jnp.pad(tobs.cam, ((0, pad), (0, 0)))
-    mask = jnp.pad(tobs.mask, ((0, pad), (0, 0)))
-    pts = jnp.pad(points, ((0, pad), (0, 0)))
-    args = (xy.reshape(n_chunks, chunk, S, 2), cam.reshape(n_chunks, chunk, S),
-            mask.reshape(n_chunks, chunk, S), pts.reshape(n_chunks, chunk, 3))
+    # V_p blocks: 6 unique entries, each a (P,) vector
+    def vp_entry(k, l):
+        return sum(Bt[s, i, k] * Bt[s, i, l] for s in range(S) for i in range(2))
 
-    (U, gc, S_s, rhs_s), (Vinv, W, gp) = jax.lax.map(chunk_terms, args)
-    U = jnp.sum(U, 0)
-    gc = jnp.sum(gc, 0)
-    S_sum = jnp.sum(S_s, 0)
-    rhs_sum = jnp.sum(rhs_s, 0)
-    Vinv = Vinv.reshape(-1, 3, 3)[:P]
-    W = W.reshape(-1, S, 6, 3)[:P]
-    gp = gp.reshape(-1, 3)[:P]
+    Vp = {}
+    for k in range(3):
+        for l in range(k, 3):
+            Vp[(k, l)] = vp_entry(k, l)
+    a = Vp[(0, 0)] * (1.0 + lam) + 1e-8
+    b = Vp[(1, 1)] * (1.0 + lam) + 1e-8
+    c = Vp[(2, 2)] * (1.0 + lam) + 1e-8
+    d, e, f = Vp[(0, 1)], Vp[(0, 2)], Vp[(1, 2)]
+    # closed-form symmetric 3x3 inverse (adjugate), elementwise over P
+    A00 = b * c - f * f
+    A01 = e * f - d * c
+    A02 = d * f - b * e
+    A11 = a * c - e * e
+    A12 = d * e - a * f
+    A22 = a * b - d * d
+    det = a * A00 + d * A01 + e * A02
+    det = jnp.where(jnp.abs(det) > 1e-18, det, 1e-18)
+    Vi = {(0, 0): A00 / det, (0, 1): A01 / det, (0, 2): A02 / det,
+          (1, 1): A11 / det, (1, 2): A12 / det, (2, 2): A22 / det}
+
+    def vi(k, l):
+        return Vi[(k, l)] if k <= l else Vi[(l, k)]
+
+    # g_p, W, M — nested (P,)-vector tables
+    gp = [-sum(Bt[s, i, k] * rt[s, i] for s in range(S) for i in range(2))
+          for k in range(3)]
+    W = [[[sum(At[s, i, k] * Bt[s, i, bb] for i in range(2))
+           for bb in range(3)] for k in range(6)] for s in range(S)]
+    M = [[[sum(W[s][k][aa] * vi(aa, bb) for aa in range(3))
+           for bb in range(3)] for k in range(6)] for s in range(S)]
+
+    # one-hot segment-sums on the MXU: contraction dim = P (the big axis)
+    ohs = [jax.nn.one_hot(tobs.cam[:, s], Vn, dtype=A.dtype)  # (P,V)
+           for s in range(S)]
+    U = jnp.zeros((Vn, 6, 6))
+    gc = jnp.zeros((Vn, 6))
+    rhs = jnp.zeros((Vn, 6))
+    for s in range(S):
+        AtA_s = jnp.stack([
+            sum(At[s, i, k] * At[s, i, l] for i in range(2))
+            for k in range(6) for l in range(6)])          # (36, P)
+        Atr_s = jnp.stack([
+            sum(At[s, i, k] * rt[s, i] for i in range(2))
+            for k in range(6)])                            # (6, P)
+        Mg_s = jnp.stack([
+            sum(M[s][k][bb] * gp[bb] for bb in range(3))
+            for k in range(6)])                            # (6, P)
+        U = U + (AtA_s @ ohs[s]).reshape(6, 6, Vn).transpose(2, 0, 1)
+        gc = gc - (Atr_s @ ohs[s]).T
+        rhs = rhs - (Mg_s @ ohs[s]).T
+
+    # Schur slot pairs: for each (s,t) a (36, P) x (P, V^2) MXU contraction
+    S_sum = jnp.zeros((Vn * Vn, 36))
+    for s in range(S):
+        for t in range(S):
+            Sc_st = jnp.stack([
+                -sum(M[s][i][bb] * W[t][j][bb] for bb in range(3))
+                for i in range(6) for j in range(6)])      # (36, P)
+            pair = jax.nn.one_hot(tobs.cam[:, s] * Vn + tobs.cam[:, t],
+                                  Vn * Vn, dtype=A.dtype)  # (P, V^2)
+            S_sum = S_sum + (Sc_st @ pair).T
+    S_sum = (S_sum.reshape(Vn, Vn, 6, 6).transpose(0, 2, 1, 3))
 
     Ud = U + lam * U * jnp.eye(6) + 1e-8 * jnp.eye(6)
     S_r = S_sum.at[jnp.arange(Vn), :, jnp.arange(Vn), :].add(Ud)
-    rhs = gc + rhs_sum
-    return S_r, rhs, (Vinv, W, gp)
+
+    # aux for back-substitution, restacked to track-major
+    Vinv_arr = jnp.stack([jnp.stack([vi(k, l) for l in range(3)])
+                          for k in range(3)]).transpose(2, 0, 1)   # (P,3,3)
+    W_arr = jnp.stack([
+        jnp.stack([jnp.stack(W[s][k]) for k in range(6)])
+        for s in range(S)]).transpose(3, 0, 1, 2)                  # (P,S,6,3)
+    gp_arr = jnp.stack(gp).T                                       # (P,3)
+    return S_r, gc + rhs, (Vinv_arr, W_arr, gp_arr)
 
 
 def tm_solve_cameras(S_r, rhs, n_fixed_cams: int):
@@ -219,8 +286,8 @@ def bundle_adjust_tm(cams, points, tobs: TrackObservations, K, dist,
     delta = jnp.float32(cfg.huber_delta)
 
     def step(carry, _):
-        cams, points, lam = carry
-        cost = tm_cost(cams, points, tobs, K, dist, delta)
+        # current cost rides in the carry: one residual pass per iteration
+        cams, points, lam, cost = carry
         S_r, rhs, aux = tm_normal_and_schur(
             cams, points, tobs, K, dist, delta, lam, chunk)
         dc = tm_solve_cameras(S_r, rhs, n_fixed_cams)
@@ -231,11 +298,13 @@ def bundle_adjust_tm(cams, points, tobs: TrackObservations, K, dist,
         accept = new_cost < cost
         cams = jnp.where(accept, new_cams, cams)
         points = jnp.where(accept, new_points, points)
+        cost = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(jnp.where(accept, lam * cfg.lambda_down,
                                  lam * cfg.lambda_up), 1e-9, 1e6)
-        return (cams, points, lam), jnp.where(accept, new_cost, cost)
+        return (cams, points, lam, cost), cost
 
-    (cams, points, _), costs = jax.lax.scan(
-        step, (cams, points, jnp.float32(cfg.init_lambda)), None,
+    cost0 = tm_cost(cams, points, tobs, K, dist, delta)
+    (cams, points, _, _), costs = jax.lax.scan(
+        step, (cams, points, jnp.float32(cfg.init_lambda), cost0), None,
         length=cfg.max_iters)
     return cams, points, costs
