@@ -48,7 +48,7 @@ def main():
     intr = CameraIntrinsics.ideal(0.8255 * w, 0.8255 * w, w / 2, h / 2)
     stack = jnp.asarray(np.stack([g1, g2] * bench.N_PAIRS))
     B2 = 2 * bench.N_PAIRS
-    C = bench.SIFT_CHUNK
+    C = 2  # images per SIFT program (one pair)
 
     print(f"backend={jax.default_backend()} pairs={bench.N_PAIRS} "
           f"chunk={C} size={h}x{w}", flush=True)

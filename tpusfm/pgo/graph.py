@@ -38,6 +38,11 @@ class PgoConfig:
     lambda_down: float = 0.1
     rot_weight: float = 1.0       # weight on the rotation residual block
     trans_weight: float = 1.0
+    # robust (Huber) kernel on the per-edge residual norm: loop-closure /
+    # span edges that contradict a consistent odometry chain get their
+    # influence bounded instead of dragging the solution (the standard
+    # g2o/ceres recipe). Large delta ~ plain least squares.
+    huber_delta: float = 0.5
 
 
 def edge_residual(Ri, ti, Rj, tj, Zr, Zt):
@@ -55,7 +60,13 @@ def _block_weights(cfg: PgoConfig):
                             jnp.full(3, cfg.trans_weight)])
 
 
-def _edge_terms(R, t, ei, ej, Zr, Zt, w, bw):
+def _huber_w(rn, delta):
+    """IRLS sqrt-weight of the Huber kernel at residual norm rn."""
+    return jnp.sqrt(jnp.where(rn <= delta, 1.0,
+                              delta / jnp.maximum(rn, 1e-12)))
+
+
+def _edge_terms(R, t, ei, ej, Zr, Zt, w, bw, delta):
     """Vmapped residuals + Jacobian blocks for every edge.
 
     Returns (r (E, 6), Ji (E, 6, 6), Jj (E, 6, 6)) where Ji/Jj are
@@ -74,7 +85,7 @@ def _edge_terms(R, t, ei, ej, Zr, Zt, w, bw):
         z = jnp.zeros(12)
         J = jax.jacfwd(f)(z)          # (6, 12)
         r = f(z)
-        s = we * bw
+        s = we * bw * _huber_w(jnp.linalg.norm(r * we * bw), delta)
         return r * s, J[:, :6] * s[:, None], J[:, 6:] * s[:, None]
 
     return jax.vmap(one)(R[ei], t[ei], R[ej], t[ej], Zr, Zt, w)
@@ -85,7 +96,8 @@ def build_normal_system(R, t, ei, ej, Zr, Zt, w, n_nodes: int,
     """Assemble (H (6N, 6N), g (6N,), cost) for the current linearization.
 
     Every output is a segment-sum over edges — the psum-reducible part."""
-    r, Ji, Jj = _edge_terms(R, t, ei, ej, Zr, Zt, w, _block_weights(cfg))
+    r, Ji, Jj = _edge_terms(R, t, ei, ej, Zr, Zt, w, _block_weights(cfg),
+                            jnp.float32(cfg.huber_delta))
     Hii = jnp.einsum("eki,ekj->eij", Ji, Ji)
     Hjj = jnp.einsum("eki,ekj->eij", Jj, Jj)
     Hij = jnp.einsum("eki,ekj->eij", Ji, Jj)
@@ -104,8 +116,13 @@ def build_normal_system(R, t, ei, ej, Zr, Zt, w, n_nodes: int,
 
 
 def graph_cost(R, t, ei, ej, Zr, Zt, w, cfg: PgoConfig = PgoConfig()):
+    """True robust (Huber-on-norm) cost — the LM accept/reject criterion."""
     r = jax.vmap(edge_residual)(R[ei], t[ei], R[ej], t[ej], Zr, Zt)
-    return jnp.sum((r * w[:, None] * _block_weights(cfg)[None]) ** 2)
+    rw = r * w[:, None] * _block_weights(cfg)[None]
+    rn = jnp.sqrt(jnp.maximum(jnp.sum(rw * rw, axis=1), 1e-18))
+    d = jnp.float32(cfg.huber_delta)
+    hub = jnp.where(rn <= d, 0.5 * rn * rn, d * (rn - 0.5 * d))
+    return 2.0 * jnp.sum(hub)
 
 
 def lm_scan(R, t, cfg: PgoConfig, n_fixed: int, normal_fn, cost_fn):
