@@ -22,12 +22,13 @@ import bench  # noqa: E402
 
 
 def timed(fn, out_of, reps=6):
-    import jax
-
+    """device_get closes each rep — block_until_ready can return early on
+    the tunneled backend (see RESULTS.md r4 measurement discipline)."""
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(out_of(fn()))
+        out = out_of(fn())
+        _ = np.asarray(out.reshape(-1)[:4]) if hasattr(out, "reshape") else np.asarray(out)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 

@@ -396,14 +396,19 @@ def _take2d(P, sx, sy):
     sx, sy: (K, S) float coords -> (K, S, C). Used by the layer-streamed
     fast path: gathering per layer lets XLA free each layer's pooled planes
     immediately, so peak HBM is one (B, 8, H, W) tensor instead of the full
-    (B, L, 8, H, W) stack (the stack put batched octave 0 over the HBM
-    cliff: cumsum pooling holds log-N intermediates of its operand)."""
+    (B, L, 8, H, W) stack.
+
+    Gather layout: the table is transposed to (H*W, C) and gathered by ROW
+    so each index reads C contiguous floats — a strided take along axis=1
+    of the (C, H*W) layout measured 179 ms vs 24 ms including the
+    transpose (250k indices, 12M-pixel octave). XLA CSE shares the
+    transpose between the orientation and descriptor passes of a layer."""
     C, h, w = P.shape
     xi = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, h - 1)
     k, s = sx.shape
-    out = jnp.take(P.reshape(C, h * w), (yi * w + xi).reshape(-1), axis=1)
-    return jnp.moveaxis(out.reshape(C, k, s), 0, -1).astype(jnp.float32)
+    rows = jnp.take(P.reshape(C, h * w).T, (yi * w + xi).reshape(-1), axis=0)
+    return rows.reshape(k, s, C).astype(jnp.float32)
 
 
 _ORI_TAPS = np.array([(u, v) for v in (-1.0, 0.0, 1.0) for u in (-1.0, 0.0, 1.0)],
