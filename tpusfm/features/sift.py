@@ -535,45 +535,23 @@ def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig
             radii.append((int(round(3.0 * sigma_l)),
                           int(round(cfg.descriptor_scale_factor * sigma_l))))
 
-        hh, ww = dx_maps.shape[-2:]
-
-        def stacked_table(which: int):
-            """All layers' pooled planes as ONE (L*H*W, C) row-gather table.
-
-            Each keypoint then gathers once, indexed by its own layer —
-            the previous per-layer where-masked gathers did L x the gather
-            work (every keypoint sampled EVERY layer's pool and masked)."""
-            pools = [
-                jnp.transpose(
-                    _tri_pool(_oriented_planes(dx_maps[l + 1], dy_maps[l + 1]),
-                              radii[l][which]), (1, 2, 0))
-                for l in range(n_layers)
-            ]
-            return jnp.stack(pools).reshape(n_layers * hh * ww, _N_PLANES)
-
-        def take_stacked(table, sx, sy, li):
-            xi = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, ww - 1)
-            yi = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, hh - 1)
-            idx = (li[:, None] * hh + yi) * ww + xi
-            k, s = sx.shape
-            return jnp.take(table, idx.reshape(-1), axis=0).reshape(
-                k, s, _N_PLANES).astype(jnp.float32)
-
-        tab_o = stacked_table(0)
         sx_o, sy_o = _ori_offsets(fx, fy, sigma_oct)
-        a1, a2, second = _orientations_from_samples(
-            take_stacked(tab_o, sx_o, sy_o, li0), cfg)
+        S_o = jnp.zeros((fx.shape[0], sx_o.shape[1], _N_PLANES), jnp.float32)
+        for l in range(n_layers):
+            P = _tri_pool(_oriented_planes(dx_maps[l + 1], dy_maps[l + 1]), radii[l][0])
+            S_o = jnp.where((li0 == l)[:, None, None], _take2d(P, sx_o, sy_o), S_o)
+        a1, a2, second = _orientations_from_samples(S_o, cfg)
 
-        # both orientations in ONE descriptor pass (halves the gather ops);
-        # with the default descriptor_scale_factor 3.0 the pooling radii
-        # coincide and XLA CSE shares the stacked table between passes
+        # both orientations in ONE descriptor pass (halves the gather ops)
         two = lambda v: jnp.concatenate([v, v])
         ang12 = jnp.concatenate([a1, a2])
         sx_d, sy_d = _desc_offsets(two(fx), two(fy), two(sigma_oct), ang12, cfg)
-        tab_d = (tab_o if all(r[0] == r[1] for r in radii)
-                 else stacked_table(1))
-        d12 = _descriptors_from_samples(
-            take_stacked(tab_d, sx_d, sy_d, two(li0)), ang12, cfg)
+        S_d = jnp.zeros((2 * fx.shape[0], sx_d.shape[1], _N_PLANES), jnp.float32)
+        li2 = two(li0)
+        for l in range(n_layers):
+            P = _tri_pool(_oriented_planes(dx_maps[l + 1], dy_maps[l + 1]), radii[l][1])
+            S_d = jnp.where((li2 == l)[:, None, None], _take2d(P, sx_d, sy_d), S_d)
+        d12 = _descriptors_from_samples(S_d, ang12, cfg)
         d1, d2 = d12[: a1.shape[0]], d12[a1.shape[0]:]
     else:
         a1, a2, second = jax.vmap(
