@@ -23,16 +23,20 @@ _uniq = [0]
 
 
 def throughput(stage_fn, make_input, out_slice, k=4, label=""):
-    """Stream k fresh inputs through stage_fn; device_get forces completion."""
+    """Stream k fresh inputs through stage_fn; device_get of the LAST output
+    forces completion (programs execute in order; fetching every output
+    would add the ~23 ms/fetch tunnel roundtrip per rep — see
+    memory/axon-tunnel-timing)."""
     xs = []
     for _ in range(k):
         _uniq[0] += 1
         xs.append(make_input(_uniq[0]))
-    # warm/compile on the first input
+    # warm/compile twice (first post-compile run can be anomalously slow)
     _ = np.asarray(out_slice(stage_fn(xs[0])))
+    _ = np.asarray(out_slice(stage_fn(xs[1])))
     t0 = time.perf_counter()
     outs = [stage_fn(x) for x in xs]
-    _ = [np.asarray(out_slice(o)) for o in outs]
+    _ = np.asarray(out_slice(outs[-1]))
     dt = (time.perf_counter() - t0) / k
     print(f"{label}: {dt*1e3:8.1f} ms", flush=True)
     return dt
@@ -68,12 +72,16 @@ def main():
 
     bases = fs._prepare_and_bases(img0, n_oct, cfg)
     base_scale = 0.5 if cfg.upsample else 1.0
+
+    def octave(x, scale, k):
+        gauss, fx, fy, fl, c, ok = fs._octave_select(x, k, cfg)
+        return fs._octave_describe(gauss, fx, fy, fl, c, ok, scale, cfg)
+
     for o in (0, 1, 2):
         ho, wo = bases[o].shape[-2:]
         k_oct = min(max(32, nf >> o), cfg.n_octave_layers * ho * wo)
         throughput(
-            lambda x, o=o, k=k_oct: fs._octave_detect(
-                x, base_scale * 2.0 ** o, k, cfg),
+            lambda x, o=o, k=k_oct: octave(x, base_scale * 2.0 ** o, k),
             lambda u, o=o: bases[o] + u * 1e-6,
             lambda out: out[0][0, 0],
             label=f"octave {o} ({ho}x{wo}, k={k_oct})")

@@ -31,6 +31,19 @@ def gaussian_kernel1d(sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def decimate2(x, axis: int):
+    """Keep every other element along ``axis`` (pad-to-even + factor-split
+    reshape + unit slice — strided slices lower pathologically on TPU, see
+    downsample2)."""
+    n = x.shape[axis]
+    n2 = -(-n // 2)
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, 2 * n2 - n)
+    xp = jnp.pad(x, pads)
+    shape = xp.shape[:axis] + (n2, 2) + xp.shape[axis + 1:]
+    return jax.lax.index_in_dim(xp.reshape(shape), 0, axis + 1, keepdims=False)
+
+
 def conv1d_slices(x, taps, axis: int, mode: str = "edge"):
     """1-D correlation along ``axis`` as a tap-weighted sum of shifted
     slices — all f32 adds on the VPU.
@@ -86,8 +99,18 @@ def upsample2_linear(x):
 
 def downsample2(img):
     """Nearest 2x downsample (OpenCV SIFT uses resize INTER_NEAREST between
-    octaves): take every other pixel."""
-    return img[..., ::2, ::2]
+    octaves): take every other pixel.
+
+    Implemented as pad-to-even + factor-split reshape + unit slice instead
+    of ``[..., ::2, ::2]`` — the strided-slice form lowers pathologically
+    on TPU (adding one such slice as a program output took the octave-0
+    select program from 47 to 412 ms, measured r5)."""
+    h, w = img.shape[-2:]
+    h2, w2 = -(-h // 2), -(-w // 2)
+    pads = [(0, 0)] * (img.ndim - 2) + [(0, 2 * h2 - h), (0, 2 * w2 - w)]
+    x = jnp.pad(img, pads)
+    x = x.reshape(*img.shape[:-2], h2, 2, w2, 2)
+    return x[..., :, 0, :, 0]
 
 
 def num_octaves(h: int, w: int, max_octaves: int) -> int:

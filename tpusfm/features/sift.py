@@ -31,7 +31,7 @@ import numpy as np
 from tpusfm.config import SiftConfig
 from tpusfm.features import scalespace as ss
 from tpusfm.types import Features, Keypoints
-from tpusfm.utils.topk import safe_top_k
+from tpusfm.utils.topk import capped_top_k
 
 _BORDER = 5
 _PREC = jax.lax.Precision.HIGHEST
@@ -370,7 +370,7 @@ def _oriented_planes(dx, dy):
     return jnp.stack(planes, axis=0)
 
 
-def _tri_pool(planes, radius: int):
+def _tri_pool(planes, radius: int, stride: int = 1):
     """Separable triangular pooling of (C, H, W): the spatial bilinear cell
     weighting of the SIFT descriptor, applied once densely instead of per
     keypoint sample.
@@ -380,14 +380,36 @@ def _tri_pool(planes, radius: int):
     vector units, while the O(N) cumsum box-pair formulation — despite fewer
     FLOPs — lowers to log-N scan passes plus relayouts and measured 28 ms
     per call on the bench octave (scripts/micro_sift.py) vs ~1 ms for the
-    conv. FLOPs are tiny either way; passes over HBM are what count."""
+    conv. FLOPs are tiny either way; passes over HBM are what count.
+
+    stride > 1 subsamples the pooled output (pooled planes are low-pass at
+    radius >= 6 on the octaves that use it, so half-res sampling costs
+    little descriptor accuracy); the strided slice sits between/after the
+    axis convs so XLA's slice pushdown skips computing dropped rows."""
     m = max(2, int(radius))
     taps = 1.0 - np.abs(np.arange(-(m - 1), m, dtype=np.float32)) / m
-    # zero-padded separable stencil as slice-accumulate (scalespace.
-    # conv1d_slices): the depthwise-conv formulation this replaces ran ~30x
-    # slower on chip (C=1/8 full-precision convs miss the MXU conv emitter)
     x = ss.conv1d_slices(planes, taps, 1, mode="constant")
-    return ss.conv1d_slices(x, taps, 2, mode="constant")
+    if stride > 1:
+        x = ss.decimate2(x, 1)
+    x = ss.conv1d_slices(x, taps, 2, mode="constant")
+    if stride > 1:
+        x = ss.decimate2(x, 2)
+    return x
+
+
+def _grad2d(img):
+    """Central-difference gradients of one (H, W) layer, zero borders."""
+    zc = jnp.zeros_like(img[:, :1])
+    dx = jnp.concatenate([zc, (img[:, 2:] - img[:, :-2]) * 0.5, zc], axis=1)
+    zr = jnp.zeros_like(img[:1, :])
+    dy = jnp.concatenate([zr, (img[2:, :] - img[:-2, :]) * 0.5, zr], axis=0)
+    return dx, dy
+
+
+# pooled planes switch to half-res sampling above this pixel count (the two
+# big octaves of a full-res run; small octaves and CPU-test images keep
+# exact full-res pooling)
+_POOL_STRIDE_MIN_PX = 1 << 21
 
 
 def _take2d(P, sx, sy):
@@ -398,16 +420,19 @@ def _take2d(P, sx, sy):
     immediately, so peak HBM is one (B, 8, H, W) tensor instead of the full
     (B, L, 8, H, W) stack.
 
-    Gather layout: the table is transposed to (H*W, C) and gathered by ROW
-    so each index reads C contiguous floats — a strided take along axis=1
-    of the (C, H*W) layout measured 179 ms vs 24 ms including the
-    transpose (250k indices, 12M-pixel octave). XLA CSE shares the
-    transpose between the orientation and descriptor passes of a layer."""
+    Gather layout: the table is cast to bf16 and transposed to (H*W, C),
+    then gathered by ROW. The bf16 row gather hits a fast TPU lowering that
+    the f32 one misses entirely: 0.67 ms vs 64 ms for 90k rows from a
+    762k-row table (measured r5; the f32 row form was itself the best of
+    r4's options at 24 ms for 250k rows). Pooled-plane values feed
+    soft-binned, normalized, clipped descriptors, so bf16's ~0.4%
+    quantization is far below the descriptor's own discretization."""
     C, h, w = P.shape
     xi = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, h - 1)
     k, s = sx.shape
-    rows = jnp.take(P.reshape(C, h * w).T, (yi * w + xi).reshape(-1), axis=0)
+    table = P.astype(jnp.bfloat16).reshape(C, h * w).T
+    rows = jnp.take(table, (yi * w + xi).reshape(-1), axis=0)
     return rows.reshape(k, s, C).astype(jnp.float32)
 
 
@@ -431,10 +456,15 @@ def _orientations_from_samples(S, cfg: SiftConfig):
     hist = jnp.sum(S * jnp.asarray(_ORI_W)[None, :, None], axis=1)  # (K, 8)
     hist = jnp.roll(hist, 1, 1) * 0.25 + hist * 0.5 + jnp.roll(hist, -1, 1) * 0.25
 
+    def pick(M, b):
+        # M[k, b[k]] via one-hot sum (take_along_axis lowers poorly on TPU)
+        oh = jnp.arange(n)[None] == b[:, None]
+        return jnp.sum(jnp.where(oh, M, 0.0), axis=1)
+
     def interp(b):
-        l_ = jnp.take_along_axis(hist, jnp.mod(b - 1, n)[:, None], 1)[:, 0]
-        c = jnp.take_along_axis(hist, b[:, None], 1)[:, 0]
-        rr = jnp.take_along_axis(hist, jnp.mod(b + 1, n)[:, None], 1)[:, 0]
+        l_ = pick(hist, jnp.mod(b - 1, n))
+        c = pick(hist, b)
+        rr = pick(hist, jnp.mod(b + 1, n))
         den = l_ - 2 * c + rr
         d = jnp.where(jnp.abs(den) > 1e-12, 0.5 * (l_ - rr) / den, 0.0)
         return jnp.mod((b + jnp.clip(d, -0.5, 0.5)) / n * 2 * jnp.pi, 2 * jnp.pi)
@@ -443,7 +473,7 @@ def _orientations_from_samples(S, cfg: SiftConfig):
     is_loc = (hist >= jnp.roll(hist, 1, 1)) & (hist >= jnp.roll(hist, -1, 1))
     cand = jnp.where(is_loc & (jnp.arange(n)[None] != b1[:, None]), hist, -1.0)
     b2 = jnp.argmax(cand, axis=1)
-    peak2 = jnp.take_along_axis(cand, b2[:, None], 1)[:, 0]
+    peak2 = pick(cand, b2)
     second = peak2 >= cfg.orientation_peak_ratio * jnp.max(hist, axis=1)
     return interp(b1), interp(b2), second
 
@@ -472,17 +502,21 @@ def _descriptors_from_samples(S, angle, cfg: SiftConfig):
     circularly shifted by the keypoint angle, Gaussian cell window,
     normalize -> clip -> renormalize. -> (K, 128)."""
     n = _N_PLANES
-    # rotate orientation bins: descriptor bin k = absolute bin (k + shift)
+    # rotate orientation bins: descriptor bin k = absolute bin (k + shift).
+    # Selected from n static rolls by per-keypoint mask — take_along_axis
+    # on the tiny minor axis lowers pathologically on TPU (49 ms of the r4
+    # octave-0 program was this rotation).
     shift = angle / (2 * jnp.pi) * n
     s0 = jnp.floor(shift).astype(jnp.int32)
     f = (shift - s0)[:, None, None]
-    k = jnp.arange(n)[None]
-    idx0 = jnp.mod(k + s0[:, None], n)[:, None, :]              # (K, 1, 8)
-    idx1 = jnp.mod(idx0 + 1, n)
-    D = (
-        jnp.take_along_axis(S, jnp.broadcast_to(idx0, S.shape), 2) * (1.0 - f)
-        + jnp.take_along_axis(S, jnp.broadcast_to(idx1, S.shape), 2) * f
-    )
+    s0 = jnp.mod(s0, n)
+    D0 = jnp.zeros_like(S)
+    D1 = jnp.zeros_like(S)
+    for r in range(n):
+        m = (s0 == r)[:, None, None]
+        D0 = jnp.where(m, jnp.roll(S, -r, axis=2), D0)
+        D1 = jnp.where(m, jnp.roll(S, -(r + 1), axis=2), D1)
+    D = D0 * (1.0 - f) + D1 * f
     D = D * jnp.asarray(_CELL_W)[None, :, None]
     desc = D.reshape(D.shape[0], -1)
     norm = jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-6)
@@ -491,21 +525,34 @@ def _descriptors_from_samples(S, angle, cfg: SiftConfig):
     return desc / norm
 
 
-def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig):
-    """Detect + describe inside one octave. Returns padded per-octave arrays
-    (xy_abs, sigma_abs, angle, response, desc, mask) with capacity 2*k_oct."""
+def _select_octave(dog, k_oct: int, cfg: SiftConfig):
+    """Candidate selection + subpixel refinement for one octave.
+
+    Returns (fx, fy, fl, contrast, ok) — refined float coords/layer and the
+    validity mask, all capacity k_oct."""
     n_layers = cfg.n_octave_layers
     L, h, w = dog.shape
     thr = 0.5 * cfg.contrast_threshold / n_layers
 
     ext = _extrema_mask(dog, thr)  # (L-2, h, w)
     score = jnp.where(ext, jnp.abs(dog[1:-1]), -1.0)
-    flat = score.reshape(-1)
-    top_v, top_i = safe_top_k(flat, k_oct)
+    # Layer-argmax reduce before top-k: keep each pixel's best layer only
+    # (same-pixel multi-layer extrema need layers >= 2 apart — measured
+    # absent on the bundled full-res images), shrinking the top-k domain
+    # L-2 times; then a density-capped chunked top-k replaces the full
+    # safe_top_k tournament (octave 0: 44 -> 14 ms, scripts/topk_probe.py).
+    win = score[0]
+    win_l = jnp.zeros((h, w), jnp.int32)
+    for l in range(1, score.shape[0]):
+        take = score[l] > win
+        win = jnp.where(take, score[l], win)
+        win_l = jnp.where(take, l, win_l)
+    top_v, pix_i = capped_top_k(win.reshape(-1), k_oct)
     cand_valid = top_v > 0
-    li = top_i // (h * w) + 1
-    yi = (top_i % (h * w)) // w
-    xi = top_i % w
+    pix_i = jnp.minimum(pix_i, h * w - 1)  # -inf slots may carry padded idx
+    li = jnp.take(win_l.reshape(-1), pix_i) + 1
+    yi = pix_i // w
+    xi = pix_i % w
 
     l, y, x, off, contrast, ok = _refine_batch(dog, li, yi, xi, n_layers, cfg)
     ok = ok & cand_valid
@@ -513,47 +560,72 @@ def _process_octave(gauss, dog, octave_scale: float, k_oct: int, cfg: SiftConfig
     fx = x.astype(jnp.float32) + off[:, 0]
     fy = y.astype(jnp.float32) + off[:, 1]
     fl = l.astype(jnp.float32) + off[:, 2]
+    return fx, fy, fl, contrast, ok
+
+
+def _describe_octave(gauss, fx, fy, fl, contrast, ok,
+                     octave_scale: float, cfg: SiftConfig):
+    """Orientation + descriptors for refined candidates of one octave.
+
+    Returns padded per-octave arrays (xy_abs, sigma_abs, angle, response,
+    desc, mask) with capacity 2*k_oct. Runs as its OWN program: fusing it
+    with _select_octave into one XLA program measured ~2x slower than the
+    two dispatched back-to-back (the whole-program scheduler pessimizes the
+    gather/pool mix; dispatches pipeline at ~2 ms)."""
+    n_layers = cfg.n_octave_layers
+    h, w = gauss.shape[-2:]
     sigma_oct = cfg.sigma * 2.0 ** (fl / n_layers)  # in octave pixel units
 
-    dx_maps, dy_maps = ss.gradients(gauss)
     layer_idx = jnp.clip(jnp.round(fl).astype(jnp.int32), 1, n_layers)
 
     if cfg.fast_descriptor:
-        # Dense oriented-gradient planes per layer, pooled once: descriptors
-        # and orientations become a handful of vector gathers per keypoint.
-        # The layers are STREAMED — each layer's pooled planes are gathered
-        # for ALL keypoints and masked by layer id, so only one (H, W, 8)
-        # pool is ever live (a stacked (L, H, W, 8) pool put batched octave 0
-        # over the HBM cliff). Pooling is O(N) cumsum work, cheap enough to
-        # run twice (orientation pass, then descriptor pass after angles are
-        # known). With the default descriptor_scale_factor == 3.0 both
-        # passes share one pooling radius per layer.
+        # Dense oriented-gradient planes per layer, pooled ONCE per layer and
+        # shared by the orientation and descriptor passes (when their radii
+        # coincide, the default): descriptors and orientations become a
+        # handful of vector gathers per keypoint. The layers are STREAMED —
+        # gradients, planes and pooled planes are built per layer, gathered
+        # for ALL keypoints, masked by layer id, then freed; each layer's
+        # angles are computed inside the loop so the descriptor gathers can
+        # happen in the same iteration while the pool is live. On the big
+        # octaves the pool is subsampled 2x (_tri_pool stride) — half-res
+        # tables quarter the pool writes and gather-table transposes.
         li0 = layer_idx - 1
-        radii = []
-        for l in range(1, n_layers + 1):
-            sigma_l = cfg.sigma * 2.0 ** (l / n_layers)
-            radii.append((int(round(3.0 * sigma_l)),
-                          int(round(cfg.descriptor_scale_factor * sigma_l))))
-
-        sx_o, sy_o = _ori_offsets(fx, fy, sigma_oct)
-        S_o = jnp.zeros((fx.shape[0], sx_o.shape[1], _N_PLANES), jnp.float32)
-        for l in range(n_layers):
-            P = _tri_pool(_oriented_planes(dx_maps[l + 1], dy_maps[l + 1]), radii[l][0])
-            S_o = jnp.where((li0 == l)[:, None, None], _take2d(P, sx_o, sy_o), S_o)
-        a1, a2, second = _orientations_from_samples(S_o, cfg)
-
-        # both orientations in ONE descriptor pass (halves the gather ops)
+        kN = fx.shape[0]
         two = lambda v: jnp.concatenate([v, v])
-        ang12 = jnp.concatenate([a1, a2])
-        sx_d, sy_d = _desc_offsets(two(fx), two(fy), two(sigma_oct), ang12, cfg)
-        S_d = jnp.zeros((2 * fx.shape[0], sx_d.shape[1], _N_PLANES), jnp.float32)
         li2 = two(li0)
+        stride = 2 if h * w >= _POOL_STRIDE_MIN_PX else 1
+        inv = 1.0 / stride
+        sx_o, sy_o = _ori_offsets(fx, fy, sigma_oct)
+        a1 = jnp.zeros((kN,), jnp.float32)
+        a2 = jnp.zeros((kN,), jnp.float32)
+        second = jnp.zeros((kN,), bool)
+        S_d = jnp.zeros((2 * kN, _CELLS.shape[0], _N_PLANES), jnp.float32)
+        ang12_sel = jnp.zeros((2 * kN,), jnp.float32)
         for l in range(n_layers):
-            P = _tri_pool(_oriented_planes(dx_maps[l + 1], dy_maps[l + 1]), radii[l][1])
-            S_d = jnp.where((li2 == l)[:, None, None], _take2d(P, sx_d, sy_d), S_d)
-        d12 = _descriptors_from_samples(S_d, ang12, cfg)
-        d1, d2 = d12[: a1.shape[0]], d12[a1.shape[0]:]
+            sigma_l = cfg.sigma * 2.0 ** ((l + 1) / n_layers)
+            r_ori = int(round(3.0 * sigma_l))
+            r_desc = int(round(cfg.descriptor_scale_factor * sigma_l))
+            dx, dy = _grad2d(gauss[l + 1])
+            planes = _oriented_planes(dx, dy)
+            P_ori = _tri_pool(planes, r_ori, stride=stride)
+            P_desc = P_ori if r_desc == r_ori else _tri_pool(planes, r_desc,
+                                                             stride=stride)
+            sel = li0 == l
+            a1_l, a2_l, sec_l = _orientations_from_samples(
+                _take2d(P_ori, sx_o * inv, sy_o * inv), cfg)
+            a1 = jnp.where(sel, a1_l, a1)
+            a2 = jnp.where(sel, a2_l, a2)
+            second = jnp.where(sel, sec_l, second)
+            ang12_l = jnp.concatenate([a1_l, a2_l])
+            sx_d, sy_d = _desc_offsets(two(fx), two(fy), two(sigma_oct),
+                                       ang12_l, cfg)
+            sel2 = (li2 == l)[:, None, None]
+            S_d = jnp.where(sel2, _take2d(P_desc, sx_d * inv, sy_d * inv), S_d)
+            ang12_sel = jnp.where(li2 == l, ang12_l, ang12_sel)
+        d12 = _descriptors_from_samples(S_d, ang12_sel, cfg)
+        d1, d2 = d12[:kN], d12[kN:]
     else:
+        dx_maps, dy_maps = ss.gradients(gauss)
         a1, a2, second = jax.vmap(
             lambda li_, xx, yy, ss_: _orientation(dx_maps, dy_maps, li_, xx, yy, ss_, cfg)
         )(layer_idx, fx, fy, sigma_oct)
@@ -610,62 +682,82 @@ def _octave_bases(base, n_oct: int, cfg: SiftConfig):
     return bases
 
 
-def _octave_detect_impl(base_o, octave_scale: float, k_oct: int, cfg: SiftConfig):
+def _octave_select_impl(base_o, k_oct: int, cfg: SiftConfig):
     def one(b):
         gauss, dog = ss.build_octave(b, cfg.sigma, cfg.n_octave_layers)
-        return _process_octave(gauss, dog, octave_scale, k_oct, cfg)
+        # next octave's base comes free: level n_layers is at blur 2*sigma,
+        # decimated it is the next base at sigma (replaces the standalone
+        # blur+downsample bases chain, ~49 ms of the r4 pipeline)
+        nxt = ss.downsample2(gauss[cfg.n_octave_layers])
+        return (gauss, nxt) + _select_octave(dog, k_oct, cfg)
 
     if base_o.ndim == 2:
         return one(base_o)
     return jax.vmap(one)(base_o)
 
 
-@functools.partial(jax.jit, static_argnames=("octave_scale", "k_oct", "cfg"))
-def _octave_detect(base_o, octave_scale: float, k_oct: int, cfg: SiftConfig):
-    """One octave detect+describe as its OWN jit, depending only on its base.
+def _describe_impl(gauss, fx, fy, fl, contrast, ok,
+                   octave_scale: float, cfg: SiftConfig):
+    if gauss.ndim == 3:
+        return _describe_octave(gauss, fx, fy, fl, contrast, ok,
+                                octave_scale, cfg)
+    return jax.vmap(
+        lambda g, a, b, c, d, e: _describe_octave(g, a, b, c, d, e,
+                                                  octave_scale, cfg)
+    )(gauss, fx, fy, fl, contrast, ok)
 
-    Per-octave programs keep XLA compile tractable (an 8-octave mega-program
-    took >10x the summed compile time) and — because octaves are mutually
-    independent — the runtime can execute them concurrently, which hides
-    per-dispatch latency (critical on the tunneled TPU backend).
+
+def _octave_detect_impl(base_o, octave_scale: float, k_oct: int, cfg: SiftConfig):
+    """Fused single-program octave (used for the small pyramid tail).
+
+    Returns (octave outputs, next octave base)."""
+    gauss, nxt, fx, fy, fl, contrast, ok = _octave_select_impl(base_o, k_oct, cfg)
+    return _describe_impl(gauss, fx, fy, fl, contrast, ok, octave_scale, cfg), nxt
+
+
+@functools.partial(jax.jit, static_argnames=("k_oct", "cfg"))
+def _octave_select(base_o, k_oct: int, cfg: SiftConfig):
+    """Pyramid + extrema + top-k + refine for one big octave, as its OWN jit.
+
+    The big octaves run as TWO programs (select, then describe): XLA's
+    whole-program scheduling of the fused octave measured ~2x the sum of
+    the two halves dispatched back-to-back (r5; dispatches pipeline at
+    ~2 ms on the tunneled backend, so the extra dispatch is free).
 
     Accepts (H, W) or a (B, H, W) batch (vmapped: batching amortizes the
     many small latency-bound ops across images)."""
-    return _octave_detect_impl(base_o, octave_scale, k_oct, cfg)
+    return _octave_select_impl(base_o, k_oct, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("scales", "k_octs", "cfg"))
-def _octave_detect_tail(bases, scales: tuple, k_octs: tuple, cfg: SiftConfig):
-    """Octaves >= 2 fused into ONE program.
-
-    The big octaves (0, 1) stay separate — they dominate compile time and
-    benefit from concurrent execution — but each small-octave program costs
-    a full host->device dispatch (tens of ms over the tunneled backend)
-    for sub-millisecond compute, so the pyramid tail runs as a single
-    dispatch. Their summed compile cost is small (area shrinks 4x per
-    octave)."""
-    return tuple(
-        _octave_detect_impl(b, s, k, cfg)
-        for b, s, k in zip(bases, scales, k_octs)
-    )
+@functools.partial(jax.jit, static_argnames=("octave_scale", "cfg"))
+def _octave_describe(gauss, fx, fy, fl, contrast, ok,
+                     octave_scale: float, cfg: SiftConfig):
+    """Orientation + descriptor program for one big octave (see
+    _octave_select)."""
+    return _describe_impl(gauss, fx, fy, fl, contrast, ok, octave_scale, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("n_oct", "cfg"))
 def _prepare_and_bases(img, n_oct: int, cfg: SiftConfig):
-    """Base upsample/blur + all octave bases in ONE program (each was a
-    separate dispatch costing ~25-30 ms of tunnel latency for a few convs —
-    measured on chip, scripts/sift_sweep.py)."""
+    """Base upsample/blur + all octave bases in ONE program (kept for the
+    stage probes; the product path derives each next base from the previous
+    octave's gauss stack instead)."""
     base = _prepare_base.__wrapped__(img, cfg)
     return _octave_bases.__wrapped__(base, n_oct, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("scales", "k_octs", "cfg", "k"))
-def _tail_and_merge(bases, o0, o1, scales: tuple, k_octs: tuple,
+def _tail_and_merge(base, o0, o1, scales: tuple, k_octs: tuple,
                     cfg: SiftConfig, k: int) -> Features:
-    """Small-octave tail + cross-octave top-k merge in ONE program (same
-    dispatch-latency argument as _prepare_and_bases; the merge is a single
-    top_k + gathers)."""
-    outs = [o0, o1] + list(_octave_detect_tail.__wrapped__(bases, scales, k_octs, cfg))
+    """Small-octave tail + cross-octave top-k merge in ONE program: each
+    small-octave program would cost a dispatch for sub-millisecond compute,
+    and the merge is a single top_k + gathers. Octave bases chain inside
+    the program (next base = decimated gauss level n_layers)."""
+    outs = [o0, o1]
+    cur = base
+    for s, kk in zip(scales, k_octs):
+        out, cur = _octave_detect_impl(cur, s, kk, cfg)
+        outs.append(out)
     return _merge_octaves.__wrapped__(outs, k)
 
 
@@ -675,8 +767,9 @@ def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
     Accepts (H, W) for one image or (B, H, W) for a batch (all outputs gain
     a leading B axis). Equivalent of SIFTDetectAndCompute
     (/root/reference/SfM-GMS/SfM-GMS/FeatureMatchUtil.cpp:9-12).
-    Structured as a shallow program DAG: bases -> independent octaves ->
-    merge, so multiple images pipeline through the device back-to-back."""
+    Structured as a shallow program DAG: base prep -> per-octave select /
+    describe program pairs chained by decimated bases -> fused tail+merge,
+    so multiple images pipeline through the device back-to-back."""
     base_scale = 0.5 if cfg.upsample else 1.0
     h0, w0 = img.shape[-2:]
     h = h0 * 2 if cfg.upsample else h0
@@ -684,26 +777,29 @@ def sift_detect_and_compute(img, cfg: SiftConfig = SiftConfig()) -> Features:
     n_oct = ss.num_octaves(h, w, cfg.max_octaves)
     n_oct = min(n_oct, 1 + max(0, int(math.log2(min(h, w) / (4 * _BORDER)))))
 
-    bases = _prepare_and_bases(img, n_oct, cfg)
     plan = []
-    for o, base_o in enumerate(bases):
-        if min(base_o.shape[-2:]) < 4 * _BORDER:
+    ho, wo = h, w
+    for o in range(n_oct):
+        if min(ho, wo) < 4 * _BORDER:
             break
         # candidate budget shrinks with octave area: higher octaves have
         # ~4x fewer pixels, so a uniform budget would waste gather bandwidth
         # (clamped to the octave's candidate count so top_k stays well-formed)
-        ho, wo = base_o.shape[-2:]
         k_oct = min(max(32, cfg.max_features >> o), cfg.n_octave_layers * ho * wo)
-        plan.append((base_o, base_scale * (2.0 ** o), k_oct))
+        plan.append((base_scale * (2.0 ** o), k_oct))
+        ho, wo = -(-ho // 2), -(-wo // 2)
 
-    outs = [_octave_detect(b, s, k, cfg) for b, s, k in plan[:2]]
+    base = _prepare_base(img, cfg)
+    outs = []
+    for s, k in plan[:2]:
+        gauss, base, fx, fy, fl, contrast, ok = _octave_select(base, k, cfg)
+        outs.append(_octave_describe(gauss, fx, fy, fl, contrast, ok, s, cfg))
     if len(plan) > 2:
         tail = plan[2:]
         return _tail_and_merge(
-            tuple(b for b, _, _ in tail),
-            outs[0], outs[1],
-            tuple(s for _, s, _ in tail),
-            tuple(k for _, _, k in tail),
+            base, outs[0], outs[1],
+            tuple(s for s, _ in tail),
+            tuple(k for _, k in tail),
             cfg, cfg.max_features,
         )
 

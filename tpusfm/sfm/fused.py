@@ -10,7 +10,6 @@ state is then a single dispatch per image pair.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +19,8 @@ from tpusfm.features import scalespace as ss
 from tpusfm.features.sift import (
     _BORDER,
     _merge_octaves,
+    _octave_detect_impl,
     _prepare_base,
-    _process_octave,
 )
 from tpusfm.geometry.epipolar import find_essential_ransac
 from tpusfm.geometry.pose import recover_pose
@@ -37,16 +36,14 @@ def _sift_inline(img, cfg: SiftConfig) -> Features:
     base = _prepare_base.__wrapped__(img, cfg)
     base_scale = 0.5 if cfg.upsample else 1.0
     n_oct = ss.num_octaves(base.shape[0], base.shape[1], cfg.max_octaves)
-    down_sigma = cfg.sigma * math.sqrt(3.0)
     outs = []
     cur = base
     for o in range(n_oct):
         if min(cur.shape) < 4 * _BORDER:
             break
-        gauss, dog = ss.build_octave(cur, cfg.sigma, cfg.n_octave_layers)
         k_oct = max(32, cfg.max_features >> o)
-        outs.append(_process_octave(gauss, dog, base_scale * (2.0 ** o), k_oct, cfg))
-        cur = ss.downsample2(gauss[cfg.n_octave_layers])
+        out, cur = _octave_detect_impl(cur, base_scale * (2.0 ** o), k_oct, cfg)
+        outs.append(out)
     return _merge_octaves.__wrapped__(outs, cfg.max_features)
 
 
