@@ -10,8 +10,10 @@ reference's engine) on this machine's CPU, same images, same feature cap.
 
 Timing discipline: the tunneled TPU runtime's block_until_ready can return
 before remote execution completes, so the measured region is closed by
-device_get (np.asarray) of every step's outputs — nothing can be pending
-when the clock stops.
+device_get (np.asarray) of the LAST step's outputs — programs execute in
+dispatch order on one stream, so nothing can be pending when the clock
+stops. (Fetching every step's outputs, as r4 did, adds the ~23 ms
+per-device_get tunnel roundtrip to every step.)
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
@@ -32,7 +34,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 N_FEATURES = 10000
 MAX_MATCHES = 500
 N_PAIRS = 2        # pair batch per measured step
-ITERS = 3          # measured steps
+ITERS = 5          # measured steps
 REF_REPS = 5       # timed OpenCV reference runs (median reported)
 
 
@@ -79,13 +81,14 @@ def bench_tpusfm(g1, g2):
         return (np.asarray(r.n_points), np.asarray(r.n_inliers),
                 np.asarray(r.points3d[:, :4]))
 
-    np_, ni, _ = drain(step(10_000))  # warm / compile
+    drain(step(10_000))  # warm / compile
+    drain(step(10_001))  # second warm (first post-compile run can be slow)
     t0 = time.perf_counter()
     outs = [step(u) for u in range(ITERS)]
-    drained = [drain(r) for r in outs]
+    last = drain(outs[-1])  # in-order execution: last done => all done
     dt = (time.perf_counter() - t0) / (ITERS * N_PAIRS)
-    n_pts = int(drained[-1][0].mean())
-    n_inl = int(drained[-1][1].mean())
+    n_pts = int(last[0].mean())
+    n_inl = int(last[1].mean())
     return 2.0 / dt, n_pts, n_inl
 
 

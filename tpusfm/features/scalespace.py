@@ -122,22 +122,21 @@ def build_octave(base, sigma: float, n_layers: int):
     """One octave: (n_layers+3, H, W) Gaussian stack from ``base`` (already at
     blur ``sigma``), plus the (n_layers+2, H, W) DoG stack.
 
-    All levels are blurred directly from ``base`` as ONE multi-output-channel
-    separable conv pair (incremental sigmas composed analytically) — no
-    sequential blur chain, so XLA sees a single wide conv instead of
-    n_layers+2 dependent ones."""
+    Levels are blurred SEQUENTIALLY (level i from level i-1 with the
+    incremental sigma) — the same construction cv::SIFT uses. The
+    incremental kernels stay small (radius 5..13 vs 5..21 blurring straight
+    from base), ~30% fewer taps over the octave, and TPU execution is
+    serial anyway so the dependency chain costs nothing."""
     k = 2.0 ** (1.0 / n_layers)
-    # level i has total blur sigma*k^i; relative to base (already at sigma):
-    incs = [
-        math.sqrt(max((sigma * k**i) ** 2 - sigma * sigma, 1e-8))
-        for i in range(1, n_layers + 3)
-    ]
-    # per-level separable blur as slice-accumulates (see conv1d_slices note)
-    levels = []
-    for s in incs:
-        k = gaussian_kernel1d(s)
-        levels.append(conv1d_slices(conv1d_slices(base, k, 0), k, 1))
-    g = jnp.stack([base] + levels, axis=0)
+    levels = [base]
+    cur = base
+    for i in range(1, n_layers + 3):
+        # level i at sigma*k^i, from level i-1 at sigma*k^(i-1)
+        s = sigma * math.sqrt(max(k ** (2 * i) - k ** (2 * i - 2), 1e-8))
+        taps = gaussian_kernel1d(s)
+        cur = conv1d_slices(conv1d_slices(cur, taps, 0), taps, 1)
+        levels.append(cur)
+    g = jnp.stack(levels, axis=0)
     dog = g[1:] - g[:-1]
     return g, dog
 

@@ -370,7 +370,7 @@ def _oriented_planes(dx, dy):
     return jnp.stack(planes, axis=0)
 
 
-def _tri_pool(planes, radius: int, stride: int = 1):
+def _tri_pool(planes, radius: int):
     """Separable triangular pooling of (C, H, W): the spatial bilinear cell
     weighting of the SIFT descriptor, applied once densely instead of per
     keypoint sample.
@@ -382,19 +382,23 @@ def _tri_pool(planes, radius: int, stride: int = 1):
     per call on the bench octave (scripts/micro_sift.py) vs ~1 ms for the
     conv. FLOPs are tiny either way; passes over HBM are what count.
 
-    stride > 1 subsamples the pooled output (pooled planes are low-pass at
-    radius >= 6 on the octaves that use it, so half-res sampling costs
-    little descriptor accuracy); the strided slice sits between/after the
-    axis convs so XLA's slice pushdown skips computing dropped rows."""
+    On the big octaves the caller aggregates the gradient field to the half
+    grid first (_lp_decimate2) and pools at half radius — a Pallas
+    halo-strip pool over full-res planes was tried and measured 4x slower
+    than this XLA form (r5; the strided work is the cost, not HBM)."""
     m = max(2, int(radius))
     taps = 1.0 - np.abs(np.arange(-(m - 1), m, dtype=np.float32)) / m
     x = ss.conv1d_slices(planes, taps, 1, mode="constant")
-    if stride > 1:
-        x = ss.decimate2(x, 1)
-    x = ss.conv1d_slices(x, taps, 2, mode="constant")
-    if stride > 1:
-        x = ss.decimate2(x, 2)
-    return x
+    return ss.conv1d_slices(x, taps, 2, mode="constant")
+
+
+_LP3 = np.array([0.25, 0.5, 0.25], np.float32)
+
+
+def _lp_decimate2(x):
+    """Centered [1,2,1]/4 low-pass + stride-2 decimate, both axes of (H, W)."""
+    x = ss.decimate2(ss.conv1d_slices(x, _LP3, 0, mode="constant"), 0)
+    return ss.decimate2(ss.conv1d_slices(x, _LP3, 1, mode="constant"), 1)
 
 
 def _grad2d(img):
@@ -606,10 +610,18 @@ def _describe_octave(gauss, fx, fy, fl, contrast, ok,
             r_ori = int(round(3.0 * sigma_l))
             r_desc = int(round(cfg.descriptor_scale_factor * sigma_l))
             dx, dy = _grad2d(gauss[l + 1])
+            if stride > 1:
+                # aggregate the gradient FIELD to the half grid ([1,2,1]/4
+                # low-pass + decimate per axis) before binning: quarters the
+                # atan2/plane work and smooths 2 maps instead of 8. The 1 px
+                # pre-smoothing is far inside the 3*sigma (>= 6 px) pooling
+                # radius of the layers that take this path.
+                dx, dy = _lp_decimate2(dx), _lp_decimate2(dy)
+                r_ori = max(2, (r_ori + 1) // 2)
+                r_desc = max(2, (r_desc + 1) // 2)
             planes = _oriented_planes(dx, dy)
-            P_ori = _tri_pool(planes, r_ori, stride=stride)
-            P_desc = P_ori if r_desc == r_ori else _tri_pool(planes, r_desc,
-                                                             stride=stride)
+            P_ori = _tri_pool(planes, r_ori)
+            P_desc = P_ori if r_desc == r_ori else _tri_pool(planes, r_desc)
             sel = li0 == l
             a1_l, a2_l, sec_l = _orientations_from_samples(
                 _take2d(P_ori, sx_o * inv, sy_o * inv), cfg)
