@@ -29,12 +29,44 @@ HBM_BW = 819e9
 
 
 def stream(fn, make_input, out_slice, k=4):
+    """Sync-last streaming: dispatches pipeline in order, so a device_get of
+    the LAST output closes the region; fetching every output would add the
+    ~23 ms/fetch tunnel roundtrip per rep (what made the r4 roofline
+    under-report kernel speed ~75x — memory/axon-tunnel-timing)."""
     xs = [make_input(i) for i in range(k)]
     _ = np.asarray(out_slice(fn(xs[0])))          # warm/compile
+    _ = np.asarray(out_slice(fn(xs[1])))          # first post-compile run lies
     t0 = time.perf_counter()
     outs = [fn(x) for x in xs]
-    _ = [np.asarray(out_slice(o)) for o in outs]
+    _ = np.asarray(out_slice(outs[-1]))
     return (time.perf_counter() - t0) / k
+
+
+def device_time(fn, x0, perturb, reps=16):
+    """Kernel device time via an in-jit scan loop with per-rep varied input
+    (the tunnel dedupes identical dispatches; per-dispatch cost ~2 ms)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(x, n: int):
+        def body(carry, r):
+            o = fn(perturb(x, r))
+            return carry + o, None
+        out, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(n, dtype=jnp.int32))
+        return out
+
+    _ = np.asarray(loop(x0, 1))
+    _ = np.asarray(loop(x0, reps))
+    best = None
+    for p in (1e-6, 2e-6, 3e-6):  # freshly-compiled programs absorb a
+        t0 = time.perf_counter()  # one-time ~450 ms cost in their first
+        _ = np.asarray(loop(x0 + p, reps))  # timed series: take the min
+        dt = (time.perf_counter() - t0 - 0.025) / reps
+        best = dt if best is None else min(best, dt)
+    return max(best, 1e-6)
 
 
 def main():
@@ -43,7 +75,9 @@ def main():
     from tpusfm.kernels.distance import nn_search
 
     rows = []
-    rng = np.random.default_rng(0)
+    # salt the inputs so the tunnel's byte-identical dispatch dedup can
+    # never serve a cached result from a previous roofline run
+    rng = np.random.default_rng(time.time_ns() % (1 << 31))
 
     # --- NN matching, 10k x 10k x 128 ---
     n, d = 10000, 128
@@ -52,17 +86,28 @@ def main():
     flops = 2.0 * n * n * d
     bytes_ = 2 * n * d * 4 + n * 12
 
+    # throwaway series: a one-time ~450 ms per-process device cost lands in
+    # the first timed loop of the process regardless of warm-up calls
+    device_time(lambda x: nn_search(x, db.astype(jnp.bfloat16))[1][0],
+                q0.astype(jnp.bfloat16),
+                lambda x, r: x + r.astype(x.dtype) * jnp.asarray(1e-3, x.dtype))
+
     for dtype, peak, label in ((jnp.bfloat16, PEAK_BF16, "nn_match_bf16"),
                                (jnp.float32, PEAK_F32, "nn_match_f32")):
         qq = q0.astype(dtype)
         dd = db.astype(dtype)
-        t = stream(lambda x: nn_search(x, dd), lambda i: qq + i * 1e-3,
-                   lambda o: o[0][:4])
+        t = device_time(
+            lambda x: nn_search(x, dd)[1][0],
+            qq, lambda x, r: x + r.astype(x.dtype) * jnp.asarray(1e-3, x.dtype))
+        # attainable bound: MXU at peak for the cross-matmul; f32 HIGHEST
+        # runs the 6-pass decomposition (~3x the flops at bf16 rate)
+        bound_ms = (flops / peak) * 1e3
         rows.append({"kernel": label, "shape": f"{n}x{n}x{d}",
                      "ms": round(t * 1e3, 2),
                      "gflop": round(flops / 1e9, 1),
                      "tflops": round(flops / t / 1e12, 2),
                      "pct_peak": round(flops / t / peak * 100, 1),
+                     "bound_ms": round(bound_ms, 3),
                      "bound": "MXU"})
 
     # --- SIFT detect+describe, full res, 10k features ---
