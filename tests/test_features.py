@@ -58,7 +58,7 @@ def test_orb_corners_and_matching():
     # white square on black: corners at the 4 square corners
     img = np.zeros((96, 128), np.float32)
     img[30:70, 40:90] = 1.0
-    f = orb_detect_and_compute(jnp.array(img), OrbConfig(max_features=64))
+    f = orb_detect_and_compute(jnp.array(img), OrbConfig(max_features=64, edge_threshold=16))
     m = np.asarray(f.kpts.mask)
     assert m.sum() >= 4
     xy = np.asarray(f.kpts.xy)[m]
@@ -71,8 +71,8 @@ def test_orb_corners_and_matching():
     tex = np.kron(rng.random((12, 16)) > 0.5, np.ones((8, 8))).astype(np.float32)
     img = tex[:96, :128]
     img2 = np.roll(img, (5, 9), axis=(0, 1))
-    f = orb_detect_and_compute(jnp.array(img), OrbConfig(max_features=64))
-    f2 = orb_detect_and_compute(jnp.array(img2), OrbConfig(max_features=64))
+    f = orb_detect_and_compute(jnp.array(img), OrbConfig(max_features=64, edge_threshold=16))
+    f2 = orb_detect_and_compute(jnp.array(img2), OrbConfig(max_features=64, edge_threshold=16))
     mm = bf_match(f.desc, f2.desc, f.kpts.mask, f2.kpts.mask,
                   MatchConfig(max_matches=64, distance_coef=100.0), metric="hamming")
     mk = np.asarray(mm.mask)

@@ -48,6 +48,7 @@ class OrbConfig:
     n_levels: int = 8
     scale_factor: float = 1.2
     patch_size: int = 31
+    edge_threshold: int = 31  # keypoints this close to the border are dropped
 
 
 @dataclasses.dataclass(frozen=True)

@@ -89,22 +89,51 @@ def _orientation_ic(img, x, y):
     return jnp.arctan2(m01, m10)
 
 
-def _brief_descriptor(blur, x, y, angle):
-    """256 rotated binary tests -> (8,) uint32."""
-    from tpusfm.features.sift import _bilinear
+@functools.lru_cache(maxsize=1)
+def _steered_patterns() -> np.ndarray:
+    """(30, 256, 4) int32 (dy1, dx1, dy2, dx2): the recovered cv2
+    bit_pattern_31 pre-rotated at each of ORB's 30 quantized steering
+    angles with cv2's cvRound integer offsets (orb.cpp rotates the pattern
+    per angle bin, not per keypoint)."""
+    pat = _dense_pattern()  # (256, 4): y1 x1 y2 x2
+    tabs = []
+    for a in range(_N_ANGLE_BINS):
+        th = 2.0 * np.pi * a / _N_ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        o = np.zeros((256, 4), np.int32)
+        # OpenCV: col = round(x cos - y sin), row = round(x sin + y cos)
+        o[:, 0] = np.round(pat[:, 1] * s + pat[:, 0] * c)
+        o[:, 1] = np.round(pat[:, 1] * c - pat[:, 0] * s)
+        o[:, 2] = np.round(pat[:, 3] * s + pat[:, 2] * c)
+        o[:, 3] = np.round(pat[:, 3] * c - pat[:, 2] * s)
+        tabs.append(o)
+    return np.stack(tabs)
 
-    pat = jnp.asarray(_PATTERN)  # (256, 4): y1 x1 y2 x2
-    c, s = jnp.cos(angle), jnp.sin(angle)
-    y1 = pat[:, 0] * c + pat[:, 1] * s
-    x1 = -pat[:, 0] * s + pat[:, 1] * c
-    y2 = pat[:, 2] * c + pat[:, 3] * s
-    x2 = -pat[:, 2] * s + pat[:, 3] * c
-    v1 = _bilinear(blur, x + x1, y + y1)
-    v2 = _bilinear(blur, x + x2, y + y2)
-    bits = (v1 < v2).astype(jnp.uint32)  # (256,)
-    words = bits.reshape(8, 32)
+
+def _brief_descriptors(blur, px, py, ang):
+    """Steered BRIEF for (K,) integer keypoints -> (K, 8) uint32.
+
+    cv2 semantics throughout (r5, VERDICT r4 #4 — the generated-pattern
+    sparse path measured ~13 RMS worse than the recovered cv2 pattern in
+    out/orb_dense_experiment.json): quantized 30-bin steering with rounded
+    integer offsets and single-pixel compares on the 7x7/sigma-2 blur."""
+    h, w = blur.shape
+    flat = blur.reshape(-1)
+    bins = jnp.mod(jnp.round(ang / (2.0 * jnp.pi / _N_ANGLE_BINS))
+                   .astype(jnp.int32), _N_ANGLE_BINS)
+    offs = jnp.take(jnp.asarray(_steered_patterns()), bins, axis=0)  # (K,256,4)
+    xi = jnp.round(px).astype(jnp.int32)[:, None]
+    yi = jnp.round(py).astype(jnp.int32)[:, None]
+    y1 = jnp.clip(yi + offs[..., 0], 0, h - 1)
+    x1 = jnp.clip(xi + offs[..., 1], 0, w - 1)
+    y2 = jnp.clip(yi + offs[..., 2], 0, h - 1)
+    x2 = jnp.clip(xi + offs[..., 3], 0, w - 1)
+    v1 = jnp.take(flat, y1 * w + x1)
+    v2 = jnp.take(flat, y2 * w + x2)
+    bits = (v1 < v2).astype(jnp.uint32)          # (K, 256)
+    words = bits.reshape(bits.shape[0], 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    return jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=2, dtype=jnp.uint32)
 
 
 _N_ANGLE_BINS = 30  # OpenCV ORB quantizes steering to 2*pi/30 steps
@@ -225,7 +254,7 @@ def orb_detect_and_compute(img, cfg: OrbConfig = OrbConfig()) -> Features:
         )
         ys = jnp.arange(h)[:, None]
         xs = jnp.arange(w)[None, :]
-        b = _PATCH_R + 1
+        b = max(cfg.edge_threshold, _PATCH_R + 1)  # cv2 runByImageBorder
         interior = (ys >= b) & (ys < h - b) & (xs >= b) & (xs < w - b)
         ok = corners & (harris >= nms) & interior
         score = jnp.where(ok, harris, -jnp.inf)
@@ -234,9 +263,11 @@ def orb_detect_and_compute(img, cfg: OrbConfig = OrbConfig()) -> Features:
         py = (top_i // w).astype(jnp.float32)
         px = (top_i % w).astype(jnp.float32)
 
-        blur = gaussian_blur(lvl_img, 2.0)
-        ang = jax.vmap(lambda a, b_: _orientation_ic(blur, a, b_))(px, py)
-        desc = jax.vmap(lambda a, b_, c_: _brief_descriptor(blur, a, b_, c_))(px, py, ang)
+        # orientation from the RAW level (cv2 ICAngle), descriptors from
+        # cv2's GaussianBlur(7,7,sigma=2,REFLECT_101)
+        ang = jax.vmap(lambda a, b_: _orientation_ic(lvl_img, a, b_))(px, py)
+        blur = _cv_gauss7(_cv_gauss7(lvl_img, 0), 1)
+        desc = _brief_descriptors(blur, px, py, ang)
 
         xs_all.append(jnp.stack([px, py], 1) * scale)
         sc_all.append(jnp.full((k_lvl,), scale * 31.0 / 2))
