@@ -243,10 +243,10 @@ def test_sharded_track_major_ba_matches_single_device():
     cfg = BaConfig(max_iters=8)
     tobs = to_track_major(obs, n_tracks=96)
 
-    c1, p1, costs1 = bundle_adjust_tm(cams0, X0, tobs, K, dist, cfg, 1, chunk=32)
+    c1, p1, costs1 = bundle_adjust_tm(cams0, X0, tobs, K, dist, cfg, 1)
     mesh = make_mesh()
     c2, p2, costs2 = sharded_bundle_adjust_tm(cams0, X0, tobs, K, dist, mesh,
-                                              cfg, 1, chunk=32)
+                                              cfg, 1)
     np.testing.assert_allclose(np.asarray(costs2), np.asarray(costs1),
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=2e-3)

@@ -113,7 +113,7 @@ def sharded_bundle_adjust(cams, points, obs: Observations, K, dist, mesh: Mesh,
 
 def sharded_bundle_adjust_tm(cams, points, tobs, K, dist, mesh: Mesh,
                              cfg: BaConfig = BaConfig(), n_fixed_cams: int = 1,
-                             chunk: int = 8192, axis: str = "d"):
+                             axis: str = "d"):
     """Track-major LM bundle adjustment with the TRACK axis sharded.
 
     The at-scale variant (ba/track_solver.py) distributed: each device owns
@@ -136,13 +136,12 @@ def sharded_bundle_adjust_tm(cams, points, tobs, K, dist, mesh: Mesh,
     cam = jnp.pad(tobs.cam, ((0, pad), (0, 0)))
     mask = jnp.pad(tobs.mask, ((0, pad), (0, 0)))
     pts0 = jnp.pad(points, ((0, pad), (0, 0)))
-    local_chunk = min(chunk, cap // n_dev)
     delta = jnp.float32(cfg.huber_delta)
 
     def local_normal(cams, pts_l, xy_l, cam_l, mask_l, lam):
         t = TrackObservations(xy=xy_l, cam=cam_l, mask=mask_l)
         S_r, rhs, aux = tm_normal_and_schur(
-            cams, pts_l, t, K, dist, delta, lam, local_chunk)
+            cams, pts_l, t, K, dist, delta, lam)
         return jax.lax.psum(S_r, axis), jax.lax.psum(rhs, axis), aux
 
     normal_fn = jax.shard_map(

@@ -134,8 +134,13 @@ def lm_scan(R, t, cfg: PgoConfig, n_fixed: int, normal_fn, cost_fn):
     free6 = jnp.repeat(free, 6)
 
     def step(carry, _):
-        R, t, lam = carry
-        H, g, cost = normal_fn(R, t)
+        # the accepted TRUE Huber cost rides in the carry: accept/reject
+        # must compare cost_fn against cost_fn — the surrogate returned by
+        # normal_fn is the IRLS-weighted square, a different metric whose
+        # mismatch spuriously rejected genuinely-improving steps exactly in
+        # the large-residual loop-closure regime (r4 advisor finding)
+        R, t, lam, cost = carry
+        H, g, _ = normal_fn(R, t)
         # gauge fix: zero the rows/cols of the frozen nodes, unit diagonal
         Hf = H * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
         Hf = Hf + lam * jnp.diag(jnp.clip(jnp.diag(Hf), 1e-6, None))
@@ -147,12 +152,15 @@ def lm_scan(R, t, cfg: PgoConfig, n_fixed: int, normal_fn, cost_fn):
         accept = new_cost < cost
         R = jnp.where(accept, R2, R)
         t = jnp.where(accept, t2, t)
+        cost = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(jnp.where(accept, lam * cfg.lambda_down,
                                  lam * cfg.lambda_up), 1e-10, 1e8)
-        return (R, t, lam), jnp.where(accept, new_cost, cost)
+        return (R, t, lam, cost), cost
 
-    (R, t, _), costs = jax.lax.scan(
-        step, (R, t, jnp.float32(cfg.init_lambda)), None, length=cfg.max_iters)
+    cost0 = cost_fn(R, t)
+    (R, t, _, _), costs = jax.lax.scan(
+        step, (R, t, jnp.float32(cfg.init_lambda), cost0), None,
+        length=cfg.max_iters)
     return R, t, costs
 
 
