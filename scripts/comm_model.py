@@ -147,7 +147,7 @@ def main():
     def tm_local(cams, pts, xy, cam, mask, lam):
         t = TrackObservations(xy=xy, cam=cam, mask=mask)
         S_r, rhs, aux = tm_normal_and_schur(cams, pts, t, K, dist,
-                                            jnp.float32(2.0), lam, 512)
+                                            jnp.float32(2.0), lam)
         return jax.lax.psum(S_r, "d"), jax.lax.psum(rhs, "d")
 
     tm_fn = jax.shard_map(tm_local, mesh=mesh,
@@ -173,7 +173,7 @@ def main():
     def tm_localL(cams, pts, xy, cam, mask, lam):
         t = TrackObservations(xy=xy, cam=cam, mask=mask)
         S_r, rhs, aux = tm_normal_and_schur(cams, pts, t, K, dist,
-                                            jnp.float32(2.0), lam, 2048)
+                                            jnp.float32(2.0), lam)
         return jax.lax.psum(S_r, "d"), jax.lax.psum(rhs, "d")
 
     tm_fnL = jax.shard_map(tm_localL, mesh=mesh,
@@ -248,6 +248,36 @@ def main():
             "pgo", pgo_fn, (Rn, tn, ei, ej, Zr, Zt, wgt),
             flops_total=8000.0 * E,
             hbm_bytes_total=600.0 * E)
+
+    # --- matrix-free CG pose graph: 1024 nodes, 4096 edges (r5) ---
+    from tpusfm.pgo.graph import PgoConfig, lm_cg_core
+    Nn2, E2 = 1024, 4096
+    cg_iters = 128
+    Rn2 = jnp.broadcast_to(jnp.eye(3), (Nn2, 3, 3))
+    tn2 = jnp.zeros((Nn2, 3))
+    rng2 = np.random.default_rng(3)
+    ei2 = jnp.asarray(rng2.integers(0, Nn2, E2).astype(np.int32))
+    ej2 = jnp.asarray(rng2.integers(0, Nn2, E2).astype(np.int32))
+    Zr2 = jnp.broadcast_to(jnp.eye(3), (E2, 3, 3))
+    Zt2 = jnp.zeros((E2, 3))
+    w2 = jnp.ones((E2,))
+    cg_cfg = PgoConfig(max_iters=1, cg_iters=cg_iters)
+
+    pgo_cg_fn = jax.shard_map(
+        lambda R, t, a, b, zr, zt, ww: lm_cg_core(
+            R, t, a, b, zr, zt, ww, Nn2, cg_cfg, 1,
+            reduce_fn=lambda x: jax.lax.psum(x, "d")),
+        mesh=mesh,
+        in_specs=(P(), P(), P("d"), P("d"), P("d"), P("d"), P("d")),
+        out_specs=(P(), P(), P()), check_vma=False)
+    with mesh:
+        results["sharded_pgo_cg_1024n_4096e"] = analyze(
+            "pgo_cg", pgo_cg_fn, (Rn2, tn2, ei2, ej2, Zr2, Zt2, w2),
+            # per LM step: linearize ~8 kFLOP/edge + cg_iters x (~600
+            # FLOP/edge block products + (N,6) vector algebra)
+            flops_total=E2 * (8000.0 + cg_iters * 600.0),
+            # per CG iter: re-read the (E,3,6,6) blocks + vectors
+            hbm_bytes_total=cg_iters * (E2 * 3 * 36 * 4 + Nn2 * 6 * 16))
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "out", "COMM_MODEL.json")

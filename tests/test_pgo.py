@@ -115,3 +115,90 @@ def test_sharded_pgo_matches_single_device():
     np.testing.assert_allclose(np.asarray(R2), np.asarray(R1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(c2[-1]), np.asarray(c1[-1]),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_cg_matches_dense():
+    """Matrix-free CG solver (r5, VERDICT r4 #5) reaches the dense solver's
+    optimum on the loop problem."""
+    from tpusfm.pgo import optimize_pose_graph_cg
+
+    (Rg, tg), (R0, t0), (ei, ej, Zr, Zt) = _noisy_loop_problem()
+    w = jnp.ones(ei.shape[0]).at[-1].set(10.0)
+    cfg = PgoConfig(max_iters=15, cg_iters=100)
+    R1, t1, c1 = optimize_pose_graph(R0, t0, ei, ej, Zr, Zt, w,
+                                     PgoConfig(max_iters=15))
+    R2, t2, c2 = optimize_pose_graph_cg(R0, t0, ei, ej, Zr, Zt, w, cfg)
+    assert float(c2[-1]) <= float(c1[-1]) * 1.05, (float(c1[-1]), float(c2[-1]))
+    ate_dense = _ate(t1, tg)
+    ate_cg = _ate(t2, tg)
+    assert ate_cg <= ate_dense * 1.1 + 1e-3, (ate_dense, ate_cg)
+
+
+def test_sharded_cg_matches_single_device_small():
+    """Tight equivalence of the edge-sharded CG path on a small graph."""
+    from tpusfm.dist.sharded_pgo import sharded_optimize_pose_graph_cg
+    from tpusfm.pgo import optimize_pose_graph_cg
+
+    (_, _), (R0, t0), (ei, ej, Zr, Zt) = _noisy_loop_problem(n=10, seed=5)
+    w = jnp.ones(ei.shape[0]).at[-1].set(5.0)
+    cfg = PgoConfig(max_iters=8, cg_iters=64)
+    R1, t1, c1 = optimize_pose_graph_cg(R0, t0, ei, ej, Zr, Zt, w, cfg)
+    mesh = make_mesh()
+    R2, t2, c2 = sharded_optimize_pose_graph_cg(
+        R0, t0, ei, ej, Zr, Zt, w, mesh, cfg)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R1), atol=1e-3)
+
+
+def test_sharded_cg_scales_to_n1024():
+    """Edge-sharded matrix-free PGO on a synthetic 1024-node graph over the
+    8-device mesh (VERDICT r4 #5): the dense (6N)^2 path is out of the
+    question at this size; the CG path must reduce cost and real drift,
+    and the sharded run must land in the same cost basin as single-device
+    (bitwise trajectories diverge through ~1000 fp-reordered CG steps)."""
+    from tpusfm.dist.sharded_pgo import sharded_optimize_pose_graph_cg
+    from tpusfm.pgo import optimize_pose_graph_cg
+
+    n = 1024
+    (Rg, tg), (R0, t0), (ei, ej, Zr, Zt) = _noisy_loop_problem(
+        n=n, seed=7, noise=0.01)
+    # extra loop closures: span-64 and span-256 chords (exact relative
+    # measurements) — the long chords cut the graph diameter so the
+    # block-Jacobi CG information front crosses it within the iteration
+    # budget (Jacobi-CG propagates ~1 hop per iteration)
+    lc_i = np.arange(0, n - 64, 64)
+    lc_j = lc_i + 64
+    lc_i2 = np.arange(0, n - 256, 256)
+    lc_j2 = lc_i2 + 256
+    lc_i = jnp.asarray(np.concatenate([lc_i, lc_i2]), jnp.int32)
+    lc_j = jnp.asarray(np.concatenate([lc_j, lc_j2]), jnp.int32)
+    Zr_lc, Zt_lc = jax.vmap(lambda i, j: _relative(Rg, tg, i, j))(lc_i, lc_j)
+    ei = jnp.concatenate([ei, lc_i])
+    ej = jnp.concatenate([ej, lc_j])
+    Zr = jnp.concatenate([Zr, Zr_lc])
+    Zt = jnp.concatenate([Zt, Zt_lc])
+    w = jnp.ones(ei.shape[0]).at[n - 1:].set(5.0)
+
+    # trusted synthetic measurements: effectively-plain least squares
+    # (a 0.5 Huber delta saturates on the big drift residuals and bounds
+    # exactly the informative loop edges)
+    cfg = PgoConfig(max_iters=20, cg_iters=224, huber_delta=1e4)
+    R1, t1, c1 = optimize_pose_graph_cg(R0, t0, ei, ej, Zr, Zt, w, cfg)
+    mesh = make_mesh()
+    R2, t2, c2 = sharded_optimize_pose_graph_cg(
+        R0, t0, ei, ej, Zr, Zt, w, mesh, cfg)
+
+    # deep convergence: ~3 orders of magnitude on the graph cost
+    assert float(c1[-1]) < 0.02 * float(c1[0]), np.asarray(c1)
+    assert float(c2[-1]) < 0.02 * float(c2[0]), np.asarray(c2)
+    assert abs(float(c2[-1]) - float(c1[-1])) < 0.15 * float(c1[-1]) + 1e-3
+    # absolute-trajectory improvement vs ground truth is bounded by the
+    # intrinsic uncertainty of 1024 noisy odometry steps (long-wavelength
+    # modes are weakly constrained) — assert a meaningful reduction, not
+    # full recovery
+    ate_before = _ate(t0, tg)
+    for tx in (t1, t2):
+        ate_after = _ate(tx, tg)
+        assert ate_after < 0.8 * ate_before, (ate_before, ate_after)
