@@ -249,6 +249,21 @@ def main():
             flops_total=8000.0 * E,
             hbm_bytes_total=600.0 * E)
 
+    # --- FUSED dense mode: ring NN (64k x 64k x 128) + GMS votes (r5) ---
+    from tpusfm.dist.fused_dense import ring_match_gms
+    xyq = jnp.zeros((65536, 2), jnp.float32)
+    xyd = jnp.zeros((65536, 2), jnp.float32)
+
+    def fused(q, db, dbm, xyq, xyd):
+        return ring_match_gms(q, db, dbm, xyq, xyd, (1920, 1080),
+                              (1920, 1080), mesh, GmsConfig(), block=2048)
+
+    results["fused_ring_gms_64k"] = analyze(
+        "fused", fused, (q, db, dbm, xyq, xyd),
+        flops_total=2.0 * 65536 * 65536 * 128 + 25.0 * 65536 * 4,
+        hbm_bytes_total=2 * 65536 * 128 * 4 * 8,
+        permute_hops_per_step=7)
+
     # --- matrix-free CG pose graph: 1024 nodes, 4096 edges (r5) ---
     from tpusfm.pgo.graph import PgoConfig, lm_cg_core
     Nn2, E2 = 1024, 4096

@@ -284,3 +284,51 @@ def test_sharded_gms_matches_single_device():
     r2 = sharded_gms_filter(kp(xy1), kp(xy2), m, (w, h), (w, h), mesh, cfg)
     np.testing.assert_array_equal(np.asarray(r2.mask), np.asarray(r1.mask))
     assert int(np.asarray(r1.mask).sum()) > 0
+
+
+def test_fused_ring_gms_matches_reference():
+    """Fused dense-mode [ring NN + GMS votes] in one shard_map (r5, VERDICT
+    r4 #6) == plain nn_search followed by gms_filter."""
+    from tpusfm.config import GmsConfig
+    from tpusfm.dist.fused_dense import ring_match_gms
+    from tpusfm.match.gms import gms_filter
+    from tpusfm.types import Keypoints, Matches
+
+    rng = np.random.default_rng(11)
+    n = 256  # divisible by the 8-device mesh
+    w, h = 640, 480
+    # inliers concentrated in a small region so their per-cell support
+    # clears the GMS statistical threshold
+    xy1 = rng.uniform([0, 0], [w, h], (n, 2)).astype(np.float32)
+    inl = np.arange(n) < (3 * n) // 4
+    xy1[inl] = rng.uniform([200, 150], [400, 300], (inl.sum(), 2))
+    shift = np.array([35.0, -12.0], np.float32)
+    xy2 = np.empty_like(xy1)
+    xy2[inl] = np.clip(xy1[inl] + shift, 0, [w - 1, h - 1])
+    xy2[~inl] = rng.uniform([0, 0], [w, h], ((~inl).sum(), 2))
+    desc = rng.normal(size=(n, 32)).astype(np.float32) * 4
+    d1 = desc + rng.normal(size=desc.shape).astype(np.float32) * 0.05
+    d2 = desc.copy()
+
+    q = jnp.asarray(d1)
+    db = jnp.asarray(d2)
+    dbm = jnp.ones((n,), jnp.float32)
+    cfg = GmsConfig()
+
+    # reference: plain NN + gms_filter on the equivalent match structure
+    idx_r, best_r, _ = nn_search_xla(q, db, dbm)
+    kp = lambda xy: Keypoints(xy=jnp.asarray(xy), scale=jnp.ones(n),
+                              angle=jnp.zeros(n), response=jnp.ones(n),
+                              mask=jnp.ones(n, bool))
+    mref = Matches(idx1=jnp.arange(n, dtype=jnp.int32), idx2=idx_r,
+                   distance=best_r, mask=idx_r >= 0)
+    ref = gms_filter(kp(xy1), kp(xy2), mref, (w, h), (w, h), cfg)
+
+    mesh = make_mesh()
+    idx_f, best_f, _, inl_f = ring_match_gms(
+        q, db, dbm, jnp.asarray(xy1), jnp.asarray(xy2), (w, h), (w, h),
+        mesh, cfg)
+
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_r))
+    np.testing.assert_array_equal(np.asarray(inl_f), np.asarray(ref.mask))
+    assert int(np.asarray(inl_f).sum()) > 0  # the planted shift survives

@@ -23,6 +23,47 @@ from tpusfm.kernels.distance import (
 )
 
 
+def ring_local_nn(q_l, db_l, dbm_l, n_dev: int, shard: int, metric: str,
+                  axis: str, block: int | None):
+    """Per-device ring NN body (runs inside shard_map): rotate the db shard
+    around the ring with ppermute, merging each block's running
+    (best, second, argbest). Also used by the fused dense-mode pipeline
+    (tpusfm/dist/fused_dense.py)."""
+    me = jax.lax.axis_index(axis)
+    nq = q_l.shape[0]
+    best = jnp.full((nq,), BIG, jnp.float32)
+    second = jnp.full((nq,), BIG, jnp.float32)
+    idx = jnp.full((nq,), -1, jnp.int32)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def body(carry, step):
+        best, second, idx, db_c, dbm_c = carry
+        # block owner: the shard currently held started at device (me - step)
+        owner = jnp.mod(me - step, n_dev)
+        if block is not None and block < shard:
+            bidx, bmin, bmin2 = nn_search_xla(
+                q_l, db_c, dbm_c, metric=metric, block=block)
+        else:
+            if metric == "l2":
+                dist = _block_l2(q_l, db_c)
+            else:
+                dist = _block_hamming(q_l, db_c)
+            dist = dist + (1.0 - dbm_c.reshape(1, -1)) * BIG
+            bmin, bmin2, bidx = _block_top2(dist)
+        bidx = bidx + owner.astype(jnp.int32) * shard
+        best, second, idx = _merge_top2(best, second, idx, bmin, bmin2, bidx)
+        # rotate database shard to the next device
+        db_c = jax.lax.ppermute(db_c, axis, perm)
+        dbm_c = jax.lax.ppermute(dbm_c, axis, perm)
+        return (best, second, idx, db_c, dbm_c), None
+
+    (best, second, idx, _, _), _ = jax.lax.scan(
+        body, (best, second, idx, db_l, dbm_l),
+        jnp.arange(n_dev), length=n_dev,
+    )
+    return idx, best, second
+
+
 def ring_nn_search(q, db, db_mask, mesh: Mesh, metric: str = "l2", axis: str = "d",
                    block: int | None = None):
     """Exact NN over the full db with both q and db sharded on ``axis``.
@@ -42,39 +83,8 @@ def ring_nn_search(q, db, db_mask, mesh: Mesh, metric: str = "l2", axis: str = "
     shard = db.shape[0] // n_dev
 
     def local(q_l, db_l, dbm_l):
-        me = jax.lax.axis_index(axis)
-        nq = q_l.shape[0]
-        best = jnp.full((nq,), BIG, jnp.float32)
-        second = jnp.full((nq,), BIG, jnp.float32)
-        idx = jnp.full((nq,), -1, jnp.int32)
-        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-
-        def body(carry, step):
-            best, second, idx, db_c, dbm_c = carry
-            # block owner: the shard currently held started at device (me - step)
-            owner = jnp.mod(me - step, n_dev)
-            if block is not None and block < shard:
-                bidx, bmin, bmin2 = nn_search_xla(
-                    q_l, db_c, dbm_c, metric=metric, block=block)
-            else:
-                if metric == "l2":
-                    dist = _block_l2(q_l, db_c)
-                else:
-                    dist = _block_hamming(q_l, db_c)
-                dist = dist + (1.0 - dbm_c.reshape(1, -1)) * BIG
-                bmin, bmin2, bidx = _block_top2(dist)
-            bidx = bidx + owner.astype(jnp.int32) * shard
-            best, second, idx = _merge_top2(best, second, idx, bmin, bmin2, bidx)
-            # rotate database shard to the next device
-            db_c = jax.lax.ppermute(db_c, axis, perm)
-            dbm_c = jax.lax.ppermute(dbm_c, axis, perm)
-            return (best, second, idx, db_c, dbm_c), None
-
-        (best, second, idx, _, _), _ = jax.lax.scan(
-            body, (best, second, idx, db_l, dbm_l),
-            jnp.arange(n_dev), length=n_dev,
-        )
-        return idx, best, second
+        return ring_local_nn(q_l, db_l, dbm_l, n_dev, shard, metric, axis,
+                             block)
 
     f = jax.shard_map(
         local, mesh=mesh,

@@ -175,6 +175,31 @@ def run_disparity_benchmark(
         metric = "l2"
 
     mcfg = dataclasses.replace(cfg.match, cross_check=False)
+    if (mesh is not None and mesh.devices.size > 1 and density == "dense"
+            and alg == "gms"):
+        # FUSED dense mode: ring matching + GMS votes in one program — the
+        # vote-grid psums amortize against the ring matmuls instead of
+        # standing alone (r5; dist/fused_dense.py, 89% projected 8-chip
+        # efficiency vs 58% for the standalone sharded GMS pass)
+        from tpusfm.dist.fused_dense import ring_match_gms
+        from tpusfm.types import Matches as _Matches
+
+        n_dev = mesh.devices.size
+        n1, n2 = f1.desc.shape[0], f2.desc.shape[0]
+        cap1, cap2 = round_up(n1, n_dev), round_up(n2, n_dev)
+        idx, best, _, inl = ring_match_gms(
+            pad_axis(f1.desc, cap1, 0), pad_axis(f2.desc, cap2, 0),
+            pad_axis(f2.kpts.mask.astype(jnp.float32), cap2, 0),
+            pad_axis(f1.kpts.xy, cap1, 0), pad_axis(f2.kpts.xy, cap2, 0),
+            size, size, mesh, cfg.gms, metric=metric, block=2048)
+        valid = pad_axis(f1.kpts.mask, cap1, 0) & (best < BIG / 2) & inl
+        matches = _Matches(idx1=jnp.arange(n1, dtype=jnp.int32),
+                           idx2=idx[:n1], distance=best[:n1],
+                           mask=valid[:n1])
+        disp, valid = match_disparity_image(f1.kpts, f2.kpts, matches, h, w)
+        rms, n = disparity_rms(disp, valid, gt, disp_ratio)
+        return {"rms": float(rms), "count": int(n),
+                "n_matches": int(matches.count), "disp": disp, "valid": valid}
     if mesh is not None and mesh.devices.size > 1 and density == "dense":
         raw = _ring_raw_match(f1, f2, mesh, metric, mcfg)
     elif density == "dense":
