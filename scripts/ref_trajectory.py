@@ -66,11 +66,18 @@ def pair_edge(a, b, K):
 
 
 def main():
+    """Usage: ref_trajectory.py [out_name.npz img1 img2 ...] — with no args,
+    the PikaBun1-6 sequence into out/ref_trajectory.npz."""
     import cv2  # noqa: F401
 
     from tpusfm.io.dataset import source_image, SFM_SEQUENCE
 
-    paths = [source_image(n) for n in SFM_SEQUENCE]
+    if len(sys.argv) > 2:
+        out_name = sys.argv[1]
+        paths = sys.argv[2:]
+    else:
+        out_name = "ref_trajectory.npz"
+        paths = [source_image(n) for n in SFM_SEQUENCE]
     imgs = [load_gray(p) for p in paths]
     h, w = imgs[0].shape
 
@@ -112,7 +119,7 @@ def main():
     centers = np.stack(tw)
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "out", "ref_trajectory.npz")
+                       "out", out_name)
     np.savez(out, centers=centers, R=np.stack(Rw), scales=np.array(scales),
              n_inliers=np.array([e["n"] for e in edges]))
     print("centers:\n", np.round(centers, 3))
