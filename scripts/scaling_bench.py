@@ -114,7 +114,9 @@ def bench_ba_tm(args):
     from tpusfm.config import BaConfig
 
     out = {}
-    for n_tracks, n_views in ((32768, 12), (131072, 24)):
+    sizes = [(int(t), int(v)) for t, v in
+             (s.split("x") for s in args.tm_sizes.split(","))]
+    for n_tracks, n_views in sizes:
         K, dist, cams0, X0, obs = synth_ba_problem(n_views, n_tracks, 3)
         tobs = to_track_major(obs, n_tracks=n_tracks)
         cfg = BaConfig(max_iters=args.iters)
@@ -279,6 +281,8 @@ def main():
     ap.add_argument("--tm", action="store_true",
                     help="also run the track-major at-scale BA benchmark "
                          "(32k/128k tracks, 12/24 views)")
+    ap.add_argument("--tm-sizes", default="32768x12,131072x24",
+                    help="track-major benchmark sizes as TRACKSxVIEWS,...")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--cpu", action="store_true",

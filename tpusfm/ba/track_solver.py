@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpusfm.ba.solver import _huber_weight, _residual_one
+from tpusfm.ba.solver import _huber_weight
 from tpusfm.ba.tracks import Observations
 from tpusfm.config import BaConfig
 
@@ -98,64 +98,127 @@ def to_track_major(obs: Observations, n_tracks: int, n_slots: int | None = None,
                              mask=jnp.asarray(om))
 
 
-def _slot_blocks(cams, points, tobs: TrackObservations, K, dist, delta):
-    """Per-slot residual/Jacobian blocks.
+def _pix_lanes(Xx, Xy, Xz, K, dist):
+    """Camera-frame -> pixel map over (N,)-lane vectors (same guards as
+    projection.project_points). Elementwise only, so jvp through it stays
+    lane-vector code — no batched tiny matmuls."""
+    z = jnp.maximum(Xz, 1e-9)
+    x = jnp.clip(Xx / z, -64.0, 64.0)
+    y = jnp.clip(Xy / z, -64.0, 64.0)
+    if dist is not None:
+        k1, k2, p1, p2, k3 = (dist[i] for i in range(5))
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    else:
+        xd, yd = x, y
+    u = K[0, 0] * xd + K[0, 1] * yd + K[0, 2]
+    v = K[1, 1] * yd + K[1, 2]
+    return u, v
 
-    Returns A (P,S,2,6), B (P,S,2,3), r (P,S,2) — Huber-weighted, masked.
 
-    Jacobian structure: a naive per-observation jacfwd of the full residual
-    re-differentiates the Rodrigues map for every observation — 9 forward
-    tangents through the most expensive part of the chain (measured ~10x the
-    residual pass at 131k tracks). Instead dR/drvec is computed ONCE per
-    CAMERA (V of them), the per-observation jacobian runs only through the
-    camera-frame->pixel map (3 tangents, no trig), and the chain rule
-    assembles A = Jc @ [dXc/dw | I], B = Jc @ R."""
-    from tpusfm.geometry.projection import rodrigues
-    from tpusfm.geometry.projection import distort as _distort
+def _slot_lane_blocks(cams, points, tobs: TrackObservations, K, dist, delta):
+    """Per-slot residual/Jacobian blocks in TRACK-MINOR lane layout.
 
-    # per-camera rotation + its derivative w.r.t. the rotation vector
-    R = jax.vmap(rodrigues)(cams[:, :3])                      # (V,3,3)
-    dRdw = jax.vmap(jax.jacfwd(rodrigues))(cams[:, :3])       # (V,3,3,3)
+    Returns nested lists At[s][i][k] (2x6), Bt[s][i][b] (2x3), rt[s][i] —
+    every leaf a (P,) f32 vector — Huber-weighted, masked.
 
-    def pix_from_cam(Xc, xy):
-        z = jnp.maximum(Xc[2], 1e-9)
-        xn = jnp.clip(Xc[:2] / z, -64.0, 64.0)
-        if dist is not None:
-            xn = _distort(xn, dist)
-        u = K[0, 0] * xn[0] + K[0, 1] * xn[1] + K[0, 2]
-        v = K[1, 1] * xn[1] + K[1, 2]
-        return jnp.stack([u, v]) - xy
+    Why lanes: the vmapped per-observation form (chain_block_one) batches
+    2x3 @ 3x3 matmul chains over the observation axis, which XLA lowers to
+    minor-dim tiny matmuls (measured 9.7 ms of a 16.6 ms LM step at
+    32k tracks — the same pathology the Schur assembly's track-minor
+    rewrite removed). Here the small dims are unrolled Python loops, the
+    pixel-map Jacobian comes from 3 jvp passes through _pix_lanes (still
+    elementwise), and dR/drvec is computed once per camera."""
+    from tpusfm.ba.solver import cam_rotations
 
-    def one(cam_id, pt3, xy, m):
-        Rc = R[cam_id]
-        tc = cams[cam_id, 3:]
-        Xc = Rc @ pt3 + tc
-        r = pix_from_cam(Xc, xy)
-        Jc = jax.jacfwd(pix_from_cam)(Xc, xy)                 # (2,3)
-        dXc_dw = jnp.einsum("ijk,j->ik", dRdw[cam_id], pt3)   # (3,3)
-        A = jnp.concatenate([Jc @ dXc_dw, Jc], axis=1)        # (2,6)
-        B = Jc @ Rc                                           # (2,3)
-        w = _huber_weight(jnp.sum(r * r), delta) * m.astype(jnp.float32)
-        return (jnp.nan_to_num(A) * w, jnp.nan_to_num(B) * w,
-                jnp.nan_to_num(r) * w)
-
+    R, dRdw = cam_rotations(cams)            # (V,3,3), (V,3,3,3)
+    ts = cams[:, 3:]                         # (V,3)
     P, S = tobs.cam.shape
-    pts = jnp.repeat(points[:, None, :], S, axis=1)
-    A, B, r = jax.vmap(jax.vmap(one))(tobs.cam, pts, tobs.xy, tobs.mask)
+    Xw = [points[:, j] for j in range(3)]    # 3 x (P,)
+
+    At, Bt, rt = [], [], []
+    for s in range(S):
+        c = tobs.cam[:, s]                                   # (P,) int32
+        Rg = R[c]                                            # (P,3,3) gather
+        dRg = dRdw[c]                                        # (P,3,3,3)
+        tg = ts[c]                                           # (P,3)
+        Xc = [sum(Rg[:, i, j] * Xw[j] for j in range(3)) + tg[:, i]
+              for i in range(3)]
+
+        def pix(xc0, xc1, xc2):
+            return _pix_lanes(xc0, xc1, xc2, K, dist)
+
+        u, v = pix(*Xc)
+        ru = u - tobs.xy[:, s, 0]
+        rv = v - tobs.xy[:, s, 1]
+        # pixel-map Jacobian columns d(u,v)/dXc_j via 3 lane-vector jvps
+        zeros = jnp.zeros_like(Xc[0])
+        ones = jnp.ones_like(Xc[0])
+        Jc = [[None] * 3, [None] * 3]                        # [i][j] -> (P,)
+        for j in range(3):
+            tans = [ones if jj == j else zeros for jj in range(3)]
+            _, (du, dv) = jax.jvp(pix, tuple(Xc), tuple(tans))
+            Jc[0][j] = du
+            Jc[1][j] = dv
+        # dXc/dw: chain through the per-camera Rodrigues derivative
+        dXdw = [[sum(dRg[:, i, j, k] * Xw[j] for j in range(3))
+                 for k in range(3)] for i in range(3)]       # [i][k]
+        w = _huber_weight(ru * ru + rv * rv, delta) \
+            * tobs.mask[:, s].astype(jnp.float32)
+
+        def fin(x):
+            return jnp.nan_to_num(x) * w
+
+        A_s = [[fin(sum(Jc[i][m] * dXdw[m][k] for m in range(3)))
+                for k in range(3)]
+               + [fin(Jc[i][k]) for k in range(3)] for i in range(2)]
+        B_s = [[fin(sum(Jc[i][m] * Rg[:, m, b] for m in range(3)))
+                for b in range(3)] for i in range(2)]
+        r_s = [fin(ru), fin(rv)]
+        At.append(A_s)
+        Bt.append(B_s)
+        rt.append(r_s)
+    return At, Bt, rt
+
+
+def _slot_blocks(cams, points, tobs: TrackObservations, K, dist, delta):
+    """Array view of _slot_lane_blocks: A (P,S,2,6), B (P,S,2,3), r (P,S,2)
+    (kept for tests/profiling; the solver consumes the lane lists)."""
+    At, Bt, rt = _slot_lane_blocks(cams, points, tobs, K, dist, delta)
+    A = jnp.stack([jnp.stack([jnp.stack(row, -1) for row in s], 1)
+                   for s in At], 1)
+    B = jnp.stack([jnp.stack([jnp.stack(row, -1) for row in s], 1)
+                   for s in Bt], 1)
+    r = jnp.stack([jnp.stack(s, 1) for s in rt], 1)
     return A, B, r
 
 
 def tm_cost(cams, points, tobs: TrackObservations, K, dist, delta):
-    def one(cam_id, pt3, xy, m):
-        r = _residual_one(cams[cam_id], pt3, xy, K, dist)
-        r2 = jnp.sum(r * r)
+    """True Huber cost over valid slots, in lane layout (the vmapped
+    _residual_one form was 2.65 ms of a 16.6 ms LM step at 32k tracks)."""
+    from tpusfm.geometry.projection import rodrigues
+
+    R = jax.vmap(rodrigues)(cams[:, :3])
+    ts = cams[:, 3:]
+    S = tobs.cam.shape[1]
+    Xw = [points[:, j] for j in range(3)]
+    total = jnp.float32(0)
+    for s in range(S):
+        c = tobs.cam[:, s]
+        Rg = R[c]
+        tg = ts[c]
+        Xc = [sum(Rg[:, i, j] * Xw[j] for j in range(3)) + tg[:, i]
+              for i in range(3)]
+        u, v = _pix_lanes(*Xc, K, dist)
+        ru = u - tobs.xy[:, s, 0]
+        rv = v - tobs.xy[:, s, 1]
+        r2 = ru * ru + rv * rv
         rn = jnp.sqrt(jnp.maximum(r2, 1e-12))
         h = jnp.where(rn <= delta, 0.5 * r2, delta * (rn - 0.5 * delta))
-        return jnp.where(m, h, 0.0)
-
-    S = tobs.cam.shape[1]
-    pts = jnp.repeat(points[:, None, :], S, axis=1)
-    return jnp.sum(jax.vmap(jax.vmap(one))(tobs.cam, pts, tobs.xy, tobs.mask))
+        total = total + jnp.sum(jnp.where(tobs.mask[:, s], h, 0.0))
+    return total
 
 
 def tm_normal_and_schur(cams, points, tobs: TrackObservations, K, dist, delta,
@@ -177,14 +240,13 @@ def tm_normal_and_schur(cams, points, tobs: TrackObservations, K, dist, delta,
     Vn = cams.shape[0]
     P, S = tobs.cam.shape
 
-    A, B, r = _slot_blocks(cams, points, tobs, K, dist, delta)
-    At = jnp.transpose(A, (1, 2, 3, 0))               # (S,2,6,P)
-    Bt = jnp.transpose(B, (1, 2, 3, 0))               # (S,2,3,P)
-    rt = jnp.transpose(r, (1, 2, 0))                  # (S,2,P)
+    # track-minor lane lists: At[s][i][k], Bt[s][i][b], rt[s][i] -> (P,)
+    At, Bt, rt = _slot_lane_blocks(cams, points, tobs, K, dist, delta)
+    dty = rt[0][0].dtype
 
     # V_p blocks: 6 unique entries, each a (P,) vector
     def vp_entry(k, l):
-        return sum(Bt[s, i, k] * Bt[s, i, l] for s in range(S) for i in range(2))
+        return sum(Bt[s][i][k] * Bt[s][i][l] for s in range(S) for i in range(2))
 
     Vp = {}
     for k in range(3):
@@ -210,25 +272,25 @@ def tm_normal_and_schur(cams, points, tobs: TrackObservations, K, dist, delta,
         return Vi[(k, l)] if k <= l else Vi[(l, k)]
 
     # g_p, W, M — nested (P,)-vector tables
-    gp = [-sum(Bt[s, i, k] * rt[s, i] for s in range(S) for i in range(2))
+    gp = [-sum(Bt[s][i][k] * rt[s][i] for s in range(S) for i in range(2))
           for k in range(3)]
-    W = [[[sum(At[s, i, k] * Bt[s, i, bb] for i in range(2))
+    W = [[[sum(At[s][i][k] * Bt[s][i][bb] for i in range(2))
            for bb in range(3)] for k in range(6)] for s in range(S)]
     M = [[[sum(W[s][k][aa] * vi(aa, bb) for aa in range(3))
            for bb in range(3)] for k in range(6)] for s in range(S)]
 
     # one-hot segment-sums on the MXU: contraction dim = P (the big axis)
-    ohs = [jax.nn.one_hot(tobs.cam[:, s], Vn, dtype=A.dtype)  # (P,V)
+    ohs = [jax.nn.one_hot(tobs.cam[:, s], Vn, dtype=dty)   # (P,V)
            for s in range(S)]
     U = jnp.zeros((Vn, 6, 6))
     gc = jnp.zeros((Vn, 6))
     rhs = jnp.zeros((Vn, 6))
     for s in range(S):
         AtA_s = jnp.stack([
-            sum(At[s, i, k] * At[s, i, l] for i in range(2))
+            sum(At[s][i][k] * At[s][i][l] for i in range(2))
             for k in range(6) for l in range(6)])          # (36, P)
         Atr_s = jnp.stack([
-            sum(At[s, i, k] * rt[s, i] for i in range(2))
+            sum(At[s][i][k] * rt[s][i] for i in range(2))
             for k in range(6)])                            # (6, P)
         Mg_s = jnp.stack([
             sum(M[s][k][bb] * gp[bb] for bb in range(3))
@@ -245,21 +307,19 @@ def tm_normal_and_schur(cams, points, tobs: TrackObservations, K, dist, delta,
                 -sum(M[s][i][bb] * W[t][j][bb] for bb in range(3))
                 for i in range(6) for j in range(6)])      # (36, P)
             pair = jax.nn.one_hot(tobs.cam[:, s] * Vn + tobs.cam[:, t],
-                                  Vn * Vn, dtype=A.dtype)  # (P, V^2)
+                                  Vn * Vn, dtype=dty)      # (P, V^2)
             S_sum = S_sum + (Sc_st @ pair).T
     S_sum = (S_sum.reshape(Vn, Vn, 6, 6).transpose(0, 2, 1, 3))
 
     Ud = U + lam * U * jnp.eye(6) + 1e-8 * jnp.eye(6)
     S_r = S_sum.at[jnp.arange(Vn), :, jnp.arange(Vn), :].add(Ud)
 
-    # aux for back-substitution, restacked to track-major
-    Vinv_arr = jnp.stack([jnp.stack([vi(k, l) for l in range(3)])
-                          for k in range(3)]).transpose(2, 0, 1)   # (P,3,3)
-    W_arr = jnp.stack([
-        jnp.stack([jnp.stack(W[s][k]) for k in range(6)])
-        for s in range(S)]).transpose(3, 0, 1, 2)                  # (P,S,6,3)
-    gp_arr = jnp.stack(gp).T                                       # (P,3)
-    return S_r, gc + rhs, (Vinv_arr, W_arr, gp_arr)
+    # aux for back-substitution stays in LANE form: restacking W to a
+    # (P,S,6,3) array cost a ~28 MB minor-to-major transpose per LM
+    # iteration (measured: the restack+einsum back-sub path tripled the
+    # scanned step, 9.4 -> 29.3 ms at 32k tracks)
+    Vi_full = [[vi(a, b) for b in range(3)] for a in range(3)]
+    return S_r, gc + rhs, (Vi_full, W, gp)
 
 
 def tm_solve_cameras(S_r, rhs, n_fixed_cams: int):
@@ -272,11 +332,15 @@ def tm_solve_cameras(S_r, rhs, n_fixed_cams: int):
 
 
 def tm_back_substitute(tobs: TrackObservations, aux, dc):
-    Vinv, W, gp = aux
-    # rhs_p = g_p - sum_s W_s^T dc[cam_s]
-    dcs = dc[tobs.cam]                                   # (P,S,6)
-    rhs_p = gp - jnp.einsum("psib,psi->pb", W, dcs)
-    return jnp.einsum("pab,pb->pa", Vinv, rhs_p)
+    """dp = V^-1 (g_p - W^T dc), all in (P,)-lane algebra."""
+    Vi, W, gp = aux                       # nested lists of (P,) lanes
+    rhs = list(gp)                        # rhs_b = g_p - sum_s W_s^T dc[cam_s]
+    for s in range(len(W)):
+        dcg = dc[tobs.cam[:, s]]          # (P,6) gather from the tiny table
+        for b in range(3):
+            rhs[b] = rhs[b] - sum(W[s][k][b] * dcg[:, k] for k in range(6))
+    return jnp.stack([sum(Vi[a][b] * rhs[b] for b in range(3))
+                      for a in range(3)], 1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_fixed_cams"))

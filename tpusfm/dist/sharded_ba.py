@@ -147,7 +147,9 @@ def sharded_bundle_adjust_tm(cams, points, tobs, K, dist, mesh: Mesh,
     normal_fn = jax.shard_map(
         local_normal, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(), P(), (P(axis), P(axis), P(axis))),
+        # aux is a nested-list pytree of (P_local,) lanes; the single
+        # P(axis) spec broadcasts over the whole subtree (prefix semantics)
+        out_specs=(P(), P(), P(axis)),
         check_vma=False,
     )
     cost_fn = jax.shard_map(
@@ -164,7 +166,7 @@ def sharded_bundle_adjust_tm(cams, points, tobs, K, dist, mesh: Mesh,
         lambda cam_l, aux, dc: tm_back_substitute(
             TrackObservations(xy=None, cam=cam_l, mask=None), aux, dc),
         mesh=mesh,
-        in_specs=(P(axis), (P(axis), P(axis), P(axis)), P()),
+        in_specs=(P(axis), P(axis), P()),
         out_specs=P(axis),
         check_vma=False,
     )
